@@ -1,0 +1,116 @@
+"""Functional N-D convolution helpers (channels-last) with exact PyTorch
+shape/padding semantics, including `ConvTranspose*d`'s `output_padding`
+(reference: models/SMOW_Net.py:107 uses ConvTranspose3d(k=(1,5,5), s=(1,2,2),
+p=(0,2,2), output_padding=(0,1,1))).
+
+Kernels are stored in forward-conv layout `(*spatial, in/groups, out)` so
+every call lowers to one `lax.conv_general_dilated` (MXU-friendly); transposed
+convolution is expressed as input-dilated convolution with a spatially
+flipped kernel — the torch->jax weight converter performs the flip/transpose
+once at load time, never at step time.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["conv", "conv_transpose", "to_tuple", "causal_conv1d"]
+
+
+def to_tuple(v, n: int) -> Tuple[int, ...]:
+    if isinstance(v, (tuple, list)):
+        assert len(v) == n, (v, n)
+        return tuple(int(u) for u in v)
+    return (int(v),) * n
+
+
+def _dim_numbers(n: int):
+    spatial = "DHW"[-n:] if n <= 3 else None
+    assert spatial is not None, f"unsupported spatial rank {n}"
+    return lax.conv_dimension_numbers(
+        (1,) * (n + 2), (1,) * (n + 2), ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+    )
+
+
+def conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride=1,
+    padding=0,
+    dilation=1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """`y = conv(x, kernel)` matching torch Conv{1,2,3}d (cross-correlation).
+
+    x: (B, *spatial, C_in); kernel: (*k, C_in/groups, C_out).
+    `padding` is an int or per-dim ints (symmetric), like torch.
+    """
+    n = x.ndim - 2
+    stride = to_tuple(stride, n)
+    dilation = to_tuple(dilation, n)
+    pad = to_tuple(padding, n)
+    pads = [(p, p) for p in pad]
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=stride,
+        padding=pads,
+        rhs_dilation=dilation,
+        dimension_numbers=_dim_numbers(n),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+
+
+def conv_transpose(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride=1,
+    padding=0,
+    output_padding=0,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """torch ConvTranspose{1,2,3}d semantics, channels-last.
+
+    kernel: (*k, C_in/groups, C_out) already in *forward-conv* layout, i.e.
+    spatially flipped and in/out-transposed relative to torch's
+    (C_in, C_out/groups, *k). Output size per dim: (i-1)*s - 2p + k + op.
+    """
+    n = x.ndim - 2
+    stride = to_tuple(stride, n)
+    pad = to_tuple(padding, n)
+    opad = to_tuple(output_padding, n)
+    ks = kernel.shape[:n]
+    pads = [(k - 1 - p, k - 1 - p + op) for k, p, op in zip(ks, pad, opad)]
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,) * n,
+        padding=pads,
+        lhs_dilation=stride,
+        dimension_numbers=_dim_numbers(n),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+
+
+def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
+    """Left-padded depthwise/grouped causal conv over the length axis.
+
+    x: (B, L, C); kernel: (K, C/groups, C). TPU-native replacement for the
+    reference's `causal_conv1d` CUDA op (reference: compare/cd_mamba.py:379).
+    """
+    k = kernel.shape[0]
+    n = 1
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=[(k - 1, 0)],
+        dimension_numbers=_dim_numbers(n),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )

@@ -1,0 +1,115 @@
+"""Bilinear grid sampling (the OFW optical-flow warp hot loop).
+
+Reproduces torch `F.grid_sample(mode='bilinear')` semantics exactly for
+`padding_mode in {'border','zeros'}` and both `align_corners` flags
+(reference hot path: models/SMOW_Net.py:612-637 uses border + align_corners
++ grid clamped to [-1,1]).
+
+TPU-first design: sampling coordinates are data-dependent, so the op is a
+batched gather. We flatten (H, W) and issue a single `take_along_axis` per
+corner (4 gathers total), which XLA lowers to an efficient dynamic-gather on
+TPU; weights/lerp fuse into the surrounding elementwise graph. A fused Pallas
+variant lives in `smow_net_tpu.ops.pallas.warp` for the production path.
+
+Layout: channels-last. `x: (B, H, W, C)`, `grid: (B, Hg, Wg, 2)` with
+grid[..., 0] = x-coordinate (width), grid[..., 1] = y-coordinate (height),
+both in [-1, 1] — identical to torch's convention.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["grid_sample", "flow_warp"]
+
+
+def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def grid_sample(
+    x: jnp.ndarray,
+    grid: jnp.ndarray,
+    padding_mode: str = "border",
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Bilinear sample `x` at `grid` locations. Returns (B, Hg, Wg, C)."""
+    assert padding_mode in ("border", "zeros"), padding_mode
+    B, H, W, C = x.shape
+    _, Hg, Wg, two = grid.shape
+    assert two == 2
+
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    ix = _unnormalize(gx, W, align_corners)
+    iy = _unnormalize(gy, H, align_corners)
+
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, W - 1)
+        iy = jnp.clip(iy, 0.0, H - 1)
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    tx = ix - ix0
+    ty = iy - iy0
+
+    ix0i = ix0.astype(jnp.int32)
+    iy0i = iy0.astype(jnp.int32)
+    ix1i = ix0i + 1
+    iy1i = iy0i + 1
+
+    if padding_mode == "zeros":
+        # validity per corner before clamping
+        vx0 = (ix0i >= 0) & (ix0i < W)
+        vx1 = (ix1i >= 0) & (ix1i < W)
+        vy0 = (iy0i >= 0) & (iy0i < H)
+        vy1 = (iy1i >= 0) & (iy1i < H)
+
+    ix0c = jnp.clip(ix0i, 0, W - 1)
+    ix1c = jnp.clip(ix1i, 0, W - 1)
+    iy0c = jnp.clip(iy0i, 0, H - 1)
+    iy1c = jnp.clip(iy1i, 0, H - 1)
+
+    flat = x.reshape(B, H * W, C)
+    n = Hg * Wg
+
+    def gather(yi, xi):
+        idx = (yi * W + xi).reshape(B, n, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, Hg, Wg, C)
+
+    v00 = gather(iy0c, ix0c)
+    v01 = gather(iy0c, ix1c)
+    v10 = gather(iy1c, ix0c)
+    v11 = gather(iy1c, ix1c)
+
+    w00 = ((1 - tx) * (1 - ty))[..., None]
+    w01 = (tx * (1 - ty))[..., None]
+    w10 = ((1 - tx) * ty)[..., None]
+    w11 = (tx * ty)[..., None]
+
+    if padding_mode == "zeros":
+        w00 = w00 * (vx0 & vy0)[..., None]
+        w01 = w01 * (vx1 & vy0)[..., None]
+        w10 = w10 * (vx0 & vy1)[..., None]
+        w11 = w11 * (vx1 & vy1)[..., None]
+
+    out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+    return out.astype(x.dtype)
+
+
+def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
+    """Warp `x` (B, H, W, C) by a pixel-space `flow` (B, H, W, 2).
+
+    Matches the reference OFW warp (models/SMOW_Net.py:612-631): an identity
+    grid `linspace(-1, 1)` plus `flow / (W, H)`, clamped to [-1, 1], sampled
+    with bilinear / border / align_corners=True.
+    """
+    B, H, W, _ = x.shape
+    fy = jnp.linspace(-1.0, 1.0, H, dtype=jnp.float32)
+    fx = jnp.linspace(-1.0, 1.0, W, dtype=jnp.float32)
+    base = jnp.stack(jnp.meshgrid(fx, fy, indexing="xy"), axis=-1)  # (H, W, 2)
+    norm = jnp.asarray([W, H], dtype=jnp.float32)
+    grid = jnp.clip(base[None] + flow.astype(jnp.float32) / norm, -1.0, 1.0)
+    return grid_sample(x, grid, padding_mode="border", align_corners=align_corners)
