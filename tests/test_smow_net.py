@@ -1,0 +1,59 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smow_net_tpu.models.smow_net import SMOWNet
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = SMOWNet()
+    x1 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    x2 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x1, x2, train=False)
+    return model, variables
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    out = model.apply(variables, x1, x2, train=False)
+    assert out.shape == (2, 64, 64, 1)
+    assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+
+
+def test_train_mode_updates_batch_stats(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(1)
+    x1 = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    out, mutated = model.apply(variables, x1, x2, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 64, 64, 1)
+    # running stats must actually move
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_temporal_identity_init():
+    """At init the inflated encoder must be temporally identity: swapping the
+    two input frames must permute (not change) the stem output frames."""
+    from smow_net_tpu.nn.resnet3d import ResNet3D
+
+    enc = ResNet3D()
+    rng = np.random.default_rng(2)
+    x1 = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.stack([x1, x2], 1), train=False)
+
+    def stem(a, b):
+        x = jnp.stack([a, b], axis=1)
+        return enc.apply(variables, x, False, method=ResNet3D.stem_forward)
+
+    s12 = np.asarray(stem(x1, x2))
+    s21 = np.asarray(stem(x2, x1))
+    np.testing.assert_allclose(s12[:, 0], s21[:, 1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s12[:, 1], s21[:, 0], rtol=1e-5, atol=1e-5)
