@@ -25,7 +25,7 @@ from ..ops.pixel_shuffle import smow_shuffle
 from ..ops.pooling import max_pool
 from ..ops.resize import resize_linear
 from ..ops.warp import flow_warp
-from ..utils import torch_init
+from .temporal import CyclicTemporalMix
 
 __all__ = ["SMOWNet", "OFW", "TokenTransformerEncoder", "PixelTransformerDecoder"]
 
@@ -142,19 +142,7 @@ class ConvTransBlock3d(nn.Module):
         y = ConvTranspose(
             self.features, (1, k, k), (1, 2, 2), (0, p, p), (0, 1, 1), name="spatial"
         )(x)
-        t5 = ConvTranspose(
-            self.features, 1, kernel_init=torch_init.temporal_identity, name="time_5"
-        )
-        mixers = [
-            ConvTranspose(self.features, 1, kernel_init=torch_init.zeros, name=f"time_{i + 1}")
-            for i in range(4)
-        ]
-        y_id = t5(y)
-        frames = []
-        for j in range(4):
-            nxt = (j + 1) % 4
-            frames.append(y_id[:, j : j + 1] + mixers[nxt](y[:, nxt : nxt + 1]))
-        y = jnp.concatenate(frames, axis=1)
+        y = CyclicTemporalMix(self.features, use_bias=True, name="tmix")(y)
         y = batch_norm()(y, use_running_average=not train)
         return nn.leaky_relu(y, 0.2)
 

@@ -1,0 +1,45 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-GPU (train.py:2 pins CUDA_VISIBLE_DEVICES="0"); the
+TPU-native framework treats data parallelism over ICI as first-class: a 1-D
+`Mesh` over all local devices, batch arrays sharded on the 'data' axis,
+parameters replicated. XLA inserts the gradient all-reduces. The same code
+path runs on 1 chip (trivial mesh) and on a pod slice.
+
+Extra mesh axes ('model' for TP, future 'pipe'/'seq') are accepted by
+`make_mesh` so models can annotate weight shardings without code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_names: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a host batch (pytree of arrays, leading batch dim) sharded
+    across the mesh's data axis."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -16,7 +16,37 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["kaiming_uniform_torch", "uniform_fan_in_bias", "zeros", "temporal_identity"]
+__all__ = ["kaiming_uniform_torch", "uniform_fan_in_bias", "zeros", "temporal_identity",
+           "kaiming_normal_fan_out", "ones", "normal", "trunc_normal"]
+
+
+def kaiming_normal_fan_out(key, shape, dtype=jnp.float32):
+    """torch kaiming_normal_(mode='fan_out', nonlinearity='relu') on a
+    channels-last kernel (*k, in/g, out): fan_out = out * prod(k)."""
+    fan_out = shape[-1]
+    for s in shape[:-2]:
+        fan_out *= s
+    return jax.random.normal(key, shape, dtype) * math.sqrt(2.0 / max(fan_out, 1))
+
+
+def ones(key, shape, dtype=jnp.float32):
+    return jnp.ones(shape, dtype)
+
+
+def normal(std: float = 0.01):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+def trunc_normal(std: float = 0.02):
+    """timm trunc_normal_: truncated to ±2 std."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * std
+
+    return init
 
 
 def kaiming_uniform_torch(fan_in: int | None = None):
