@@ -140,13 +140,18 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class SelfAttentionBlock(nn.Module):
-    """Multi-head self-attention matching the reference `Attention`
-    (models/SMOW_Net.py:222-251): fused qkv (no bias), scale dim_head^-0.5,
-    output projection unless (heads==1 and dim_head==dim)."""
+    """Multi-head self-attention. Two reference flavours:
+      * SMOW (models/SMOW_Net.py:222-251): scale dim_head^-0.5, output
+        projection unless (heads==1 and dim_head==dim)  -> scale_by_dim=False
+      * BIT (compare/BIT.py:685-717): scale dim^-0.5, always projects
+        -> scale_by_dim=True, always_project=True
+    """
 
     dim: int
     heads: int
     dim_head: int
+    scale_by_dim: bool = False
+    always_project: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -159,13 +164,13 @@ class SelfAttentionBlock(nn.Module):
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scale = self.dim_head ** -0.5
+        scale = (self.dim ** -0.5) if self.scale_by_dim else (self.dim_head ** -0.5)
         dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
         attn = jax.nn.softmax(dots, axis=-1)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
-        if not (self.heads == 1 and self.dim_head == self.dim):
+        if self.always_project or not (self.heads == 1 and self.dim_head == self.dim):
             out = Dense(self.dim, name="to_out")(out)
         return out
 
