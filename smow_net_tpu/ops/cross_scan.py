@@ -1,0 +1,109 @@
+"""Cross-scan / cross-merge layout transforms for 2D selective scans.
+
+TPU-native equivalent of the reference Triton kernels
+(compare/csm_triton.py:7-257) and the torch fallbacks
+(compare/vmamba.py:27-69): pure transpose/flip/reshape, which XLA folds into
+layout assignment — no custom kernel needed (SURVEY.md N1).
+
+Direction order matches the reference CrossScan:
+  0: row-major,  1: column-major (transposed),
+  2: reversed row-major,  3: reversed column-major.
+
+The 8-direction variants add the four diagonal traversals used by RS-Mamba
+(compare/rs_mamba.py:241-383), implemented with a precomputed diagonal
+permutation (gather with a static index vector — compiled to a single
+data-formatting op).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["cross_scan", "cross_merge", "cross_scan8", "cross_merge8"]
+
+
+def cross_scan(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, 4, H*W, C)."""
+    B, H, W, C = x.shape
+    x0 = x.reshape(B, H * W, C)
+    x1 = x.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+    x2 = jnp.flip(x0, axis=1)
+    x3 = jnp.flip(x1, axis=1)
+    return jnp.stack([x0, x1, x2, x3], axis=1)
+
+
+def cross_merge(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(B, 4, H*W, C) -> (B, H*W, C): sum of the four de-traversed scans."""
+    B, K, L, C = ys.shape
+    y0 = ys[:, 0]
+    y1 = ys[:, 1].reshape(B, W, H, C).transpose(0, 2, 1, 3).reshape(B, L, C)
+    y2 = jnp.flip(ys[:, 2], axis=1)
+    y3 = jnp.flip(ys[:, 3], axis=1).reshape(B, W, H, C).transpose(0, 2, 1, 3).reshape(B, L, C)
+    return y0 + y1 + y2 + y3
+
+
+@functools.lru_cache(maxsize=None)
+def _diag_perm(H: int, W: int) -> np.ndarray:
+    """Permutation taking row-major indices to diagonal-traversal order
+    (anti-diagonals d = i+j, scanned d ascending, i ascending within)."""
+    idx = []
+    for d in range(H + W - 1):
+        i_lo = max(0, d - W + 1)
+        i_hi = min(H - 1, d)
+        for i in range(i_lo, i_hi + 1):
+            idx.append(i * W + (d - i))
+    return np.asarray(idx, dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _antidiag_perm(H: int, W: int) -> np.ndarray:
+    """Diagonal traversal of the horizontally flipped image (d = i + (W-1-j))."""
+    idx = []
+    for d in range(H + W - 1):
+        i_lo = max(0, d - W + 1)
+        i_hi = min(H - 1, d)
+        for i in range(i_lo, i_hi + 1):
+            j = W - 1 - (d - i)
+            idx.append(i * W + j)
+    return np.asarray(idx, dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _inverse_perm(perm_bytes: bytes, n: int) -> np.ndarray:
+    perm = np.frombuffer(perm_bytes, dtype=np.int32)
+    inv = np.empty(n, dtype=np.int32)
+    inv[perm] = np.arange(n, dtype=np.int32)
+    return inv
+
+
+def cross_scan8(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, 8, H*W, C): 4 axis-aligned + diagonal,
+    anti-diagonal and their reverses (RS-Mamba omnidirectional scan)."""
+    B, H, W, C = x.shape
+    flat = x.reshape(B, H * W, C)
+    four = cross_scan(x)
+    dperm = jnp.asarray(_diag_perm(H, W))
+    aperm = jnp.asarray(_antidiag_perm(H, W))
+    d0 = jnp.take(flat, dperm, axis=1)
+    a0 = jnp.take(flat, aperm, axis=1)
+    d1 = jnp.flip(d0, axis=1)
+    a1 = jnp.flip(a0, axis=1)
+    return jnp.concatenate([four, jnp.stack([d0, a0, d1, a1], axis=1)], axis=1)
+
+
+def cross_merge8(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(B, 8, H*W, C) -> (B, H*W, C)."""
+    B, K, L, C = ys.shape
+    out = cross_merge(ys[:, :4], H, W)
+    dperm = _diag_perm(H, W)
+    aperm = _antidiag_perm(H, W)
+    dinv = jnp.asarray(_inverse_perm(dperm.tobytes(), L))
+    ainv = jnp.asarray(_inverse_perm(aperm.tobytes(), L))
+    out = out + jnp.take(ys[:, 4], dinv, axis=1)
+    out = out + jnp.take(ys[:, 5], ainv, axis=1)
+    out = out + jnp.take(jnp.flip(ys[:, 6], axis=1), dinv, axis=1)
+    out = out + jnp.take(jnp.flip(ys[:, 7], axis=1), ainv, axis=1)
+    return out

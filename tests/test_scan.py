@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+
+from smow_net_tpu.ops.cross_scan import cross_merge, cross_merge8, cross_scan, cross_scan8
+from smow_net_tpu.ops.scan import selective_scan
+
+
+def naive_selective_scan(u, delta, A, B, C, D=None, delta_bias=None, softplus=False):
+    """Straight-line float64 reference of the S6 recurrence."""
+    b, L, Dch = u.shape
+    _, _, G, N = B.shape
+    Cg = Dch // G
+    dt = delta.astype(np.float64)
+    if delta_bias is not None:
+        dt = dt + delta_bias
+    if softplus:
+        dt = np.log1p(np.exp(dt))
+    y = np.zeros((b, L, Dch))
+    for bi in range(b):
+        h = np.zeros((Dch, N))
+        for l in range(L):
+            for d in range(Dch):
+                g = d // Cg
+                h[d] = np.exp(dt[bi, l, d] * A[d]) * h[d] + dt[bi, l, d] * B[bi, l, g] * u[bi, l, d]
+                y[bi, l, d] = np.dot(C[bi, l, g], h[d])
+    if D is not None:
+        y = y + u * D
+    return y
+
+
+@pytest.mark.parametrize("G,softplus", [(1, True), (2, False)])
+def test_selective_scan_matches_naive(G, softplus):
+    rng = np.random.default_rng(0)
+    b, L, Dch, N = 2, 12, 8, 4
+    u = rng.normal(size=(b, L, Dch)).astype(np.float32)
+    delta = rng.normal(size=(b, L, Dch)).astype(np.float32) * 0.5
+    A = -np.exp(rng.normal(size=(Dch, N))).astype(np.float32) * 0.5
+    B = rng.normal(size=(b, L, G, N)).astype(np.float32)
+    C = rng.normal(size=(b, L, G, N)).astype(np.float32)
+    D = rng.normal(size=(Dch,)).astype(np.float32)
+    bias = rng.normal(size=(Dch,)).astype(np.float32) * 0.1
+
+    ref = naive_selective_scan(u, delta, A, B, C, D, bias, softplus)
+    out = np.asarray(selective_scan(u, delta, A, B, C, D, bias, softplus))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_selective_scan_grad_finite():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(1, 16, 4)), jnp.float32)
+    delta = jnp.asarray(rng.normal(size=(1, 16, 4)), jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(4, 3)), jnp.float32))
+    B = jnp.asarray(rng.normal(size=(1, 16, 1, 3)), jnp.float32)
+    C = jnp.asarray(rng.normal(size=(1, 16, 1, 3)), jnp.float32)
+
+    def loss(u):
+        return jnp.sum(selective_scan(u, delta, A, B, C, delta_softplus=True) ** 2)
+
+    g = jax.grad(loss)(u)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_cross_scan_order():
+    H, W, C = 3, 4, 2
+    x = np.arange(H * W * C, dtype=np.float32).reshape(1, H, W, C)
+    s = np.asarray(cross_scan(x))
+    flat = x.reshape(1, H * W, C)
+    np.testing.assert_array_equal(s[:, 0], flat)
+    np.testing.assert_array_equal(s[:, 1], x.transpose(0, 2, 1, 3).reshape(1, H * W, C))
+    np.testing.assert_array_equal(s[:, 2], flat[:, ::-1])
+
+
+def test_cross_merge_inverts_scan():
+    rng = np.random.default_rng(2)
+    H, W, C = 5, 7, 3
+    x = rng.normal(size=(2, H, W, C)).astype(np.float32)
+    merged = np.asarray(cross_merge(cross_scan(x), H, W))
+    np.testing.assert_allclose(merged, 4 * x.reshape(2, H * W, C), rtol=1e-6)
+
+
+def test_cross_scan8_and_merge():
+    rng = np.random.default_rng(3)
+    H, W, C = 4, 6, 2
+    x = rng.normal(size=(1, H, W, C)).astype(np.float32)
+    s8 = np.asarray(cross_scan8(x))
+    assert s8.shape == (1, 8, H * W, C)
+    # each traversal is a permutation of the pixels
+    for k in range(8):
+        a = np.sort(s8[0, k, :, 0])
+        b = np.sort(x[0, :, :, 0].ravel())
+        np.testing.assert_allclose(a, b)
+    # diagonal traversal starts at (0,0) and next is (0,1) or (1,0)
+    np.testing.assert_array_equal(s8[0, 4, 0], x[0, 0, 0])
+    merged = np.asarray(cross_merge8(s8, H, W))
+    np.testing.assert_allclose(merged, 8 * x.reshape(1, H * W, C), rtol=1e-5)
