@@ -20,6 +20,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 SIZE = int(os.environ.get("BENCH_SIZE", "256"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 MODEL = os.environ.get("BENCH_MODEL", "smow_net")
+DTYPE = os.environ.get("BENCH_DTYPE", "bf16")  # bf16 | f32
 
 
 def main():
@@ -30,6 +31,15 @@ def main():
     x1 = jax.random.normal(rng, (BATCH, SIZE, SIZE, 3), jnp.float32)
     x2 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(2), x1[:1], x2[:1], train=False)
+
+    if DTYPE == "bf16":
+        # bf16 inference: params + activations in bfloat16 (MXU native);
+        # accumulation stays fp32 via preferred_element_type in the conv path
+        variables = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, variables
+        )
+        x1 = x1.astype(jnp.bfloat16)
+        x2 = x2.astype(jnp.bfloat16)
 
     @jax.jit
     def fwd(a, b):

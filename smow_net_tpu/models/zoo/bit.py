@@ -63,16 +63,16 @@ class BIT(nn.Module):
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         dim, mlp_dim = 32, 64
+        n_stages = self.resnet_stages_num - 1  # stages_num counts the stem
         backbone = ResNet(
             layers=(2, 2, 2, 2), replace_stride_with_dilation=(False, True, True),
-            name="resnet",
+            num_stages=n_stages, name="resnet",
         )
         conv_pred = Conv(32, 3, 1, 1, name="conv_pred")
 
         def forward_single(x):
             feats = backbone(x, train)
-            idx = {3: 2, 4: 3, 5: 4}[self.resnet_stages_num]
-            y = feats[idx]
+            y = feats[-1]
             y = resize_nearest(y, (y.shape[1] * 2, y.shape[2] * 2), (1, 2))
             return conv_pred(y)
 

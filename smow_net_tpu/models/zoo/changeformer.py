@@ -146,7 +146,8 @@ class ChangeFormerV6(nn.Module):
         embeds, blocks, norms = [], [], []
         cur = 0
         for i, (c, d) in enumerate(zip(self.embed_dims, self.depths)):
-            ps = 7 if i == 0 else 3
+            # reference passes patch_size=7 to ALL stages (ChangeFormerV6.py:25-28)
+            ps = 7
             st = 4 if i == 0 else 2
             embeds.append((Conv(c, ps, st, ps // 2, kernel_init=_conv_init,
                                 name=f"patch_embed{i + 1}_proj"),

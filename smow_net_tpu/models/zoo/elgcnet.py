@@ -102,7 +102,8 @@ class ELGCNet(nn.Module):
         embeds = []
         blocks = []
         for i, (c, d) in enumerate(zip(self.enc_channels, self.depths)):
-            ps = 7 if i == 0 else 3
+            # reference passes patch_size=7 to ALL stages (ELGCNet.py:452-460)
+            ps = 7
             stride = 4 if i == 0 else 2
             embeds.append(Conv(c, ps, stride, ps // 2, kernel_init=_fan_out_init,
                                name=f"patch_embed{i + 1}"))

@@ -51,6 +51,7 @@ class ResNet(nn.Module):
     widths: Sequence[int] = (64, 128, 256, 512)
     replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     stem_width: int = 64
+    num_stages: int = 4  # build/run only the first N stages (e.g. BIT uses 3)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> Tuple[jnp.ndarray, ...]:
@@ -61,7 +62,8 @@ class ResNet(nn.Module):
 
         feats = [c0]
         dilation = 1
-        for i, (planes, blocks) in enumerate(zip(self.widths, self.layers)):
+        widths = self.widths[: self.num_stages]
+        for i, (planes, blocks) in enumerate(zip(widths, self.layers)):
             stride = 1 if i == 0 else 2
             dilate = i > 0 and self.replace_stride_with_dilation[i - 1]
             prev_dilation = dilation
