@@ -288,3 +288,105 @@ def load_smownet_state_dict(sd: Dict[str, np.ndarray], variables):
     setv(params, ("classifier_conv", "kernel"), t2j_conv(sd["decoder.conv1.weight"]))
 
     return {"params": params, "batch_stats": stats}
+
+
+def load_smownet_lw_state_dict(sd: Dict[str, np.ndarray], variables):
+    """Map a reference-trained SMOW_Net_LW state_dict onto SMOWNetLW
+    variables (models/SMOW_Net_LW.py:9-98)."""
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    def setv(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node[p]
+        assert np.asarray(node[path[-1]]).shape == value.shape, \
+            (path, value.shape, np.asarray(node[path[-1]]).shape)
+        node[path[-1]] = value.astype(np.float32)
+
+    def bn_into(dst_path, src):
+        p, s = _bn(sd, src)
+        setv(params, dst_path + ("scale",), p["scale"])
+        setv(params, dst_path + ("bias",), p["bias"])
+        setv(stats, dst_path + ("mean",), s["mean"])
+        setv(stats, dst_path + ("var",), s["var"])
+
+    # ---- backbone (prefix "backbone.") ----
+    bb_sd = {k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")}
+    bb_vars = load_mobilenet_v2(
+        bb_sd, {"params": params["backbone"], "batch_stats": stats["backbone"]}
+    )
+    params["backbone"] = bb_vars["params"]
+    stats["backbone"] = bb_vars["batch_stats"]
+
+    # ---- OFW ----
+    for i, idx in enumerate((0, 3, 6)):
+        setv(params, ("OFW", f"down{i}_conv", "kernel"), t2j_conv(sd[f"OFW.down.{idx}.weight"]))
+        setv(params, ("OFW", f"down{i}_conv", "bias"), sd[f"OFW.down.{idx}.bias"])
+        bn_into(("OFW", f"down{i}_bn"), f"OFW.down.{idx + 1}")
+    setv(params, ("OFW", "flow_make", "kernel"), t2j_conv(sd["OFW.flow_make.weight"]))
+
+    # ---- token transformer encoder (in_chan=16) ----
+    te = "Transformer_Encoder"
+    setv(params, (te, "pos_embedding"), sd[te + ".pos_embedding"])
+    setv(params, (te, "conv_a", "kernel"), t2j_conv(sd[te + ".conv_a.weight"]))
+    setv(params, (te, "conv_a", "bias"), sd[te + ".conv_a.bias"])
+    tl = te + ".transformer.layers.0"
+    setv(params, (te, "transformer", "norm1", "scale"), sd[tl + ".0.norm.weight"])
+    setv(params, (te, "transformer", "norm1", "bias"), sd[tl + ".0.norm.bias"])
+    setv(params, (te, "transformer", "attn", "to_qkv", "kernel"),
+         t2j_linear(sd[tl + ".0.fn.to_qkv.weight"]))
+    setv(params, (te, "transformer", "attn", "to_out", "kernel"),
+         t2j_linear(sd[tl + ".0.fn.to_out.0.weight"]))
+    setv(params, (te, "transformer", "attn", "to_out", "bias"), sd[tl + ".0.fn.to_out.0.bias"])
+    setv(params, (te, "transformer", "norm2", "scale"), sd[tl + ".1.norm.weight"])
+    setv(params, (te, "transformer", "norm2", "bias"), sd[tl + ".1.norm.bias"])
+    setv(params, (te, "transformer", "ff", "fc1", "kernel"), t2j_linear(sd[tl + ".1.fn.net.0.weight"]))
+    setv(params, (te, "transformer", "ff", "fc1", "bias"), sd[tl + ".1.fn.net.0.bias"])
+    setv(params, (te, "transformer", "ff", "fc2", "kernel"), t2j_linear(sd[tl + ".1.fn.net.3.weight"]))
+    setv(params, (te, "transformer", "ff", "fc2", "bias"), sd[tl + ".1.fn.net.3.bias"])
+
+    # ---- decoder 3D blocks ----
+    for name in ("C3DT1", "C3DT2", "C3DT3", "C3DT4", "C3DT5"):
+        setv(params, (name, "spatial", "kernel"),
+             t2j_conv_transpose(sd[name + ".conv3d_spatial.weight"]))
+        setv(params, (name, "spatial", "bias"), sd[name + ".conv3d_spatial.bias"])
+        # temporal mixers are bias-free ConvTranspose3d (I,O,1,1,1) -> (C,C)
+        w5 = sd[name + ".conv3d_time_5.weight"][:, :, 0, 0, 0]
+        setv(params, (name, "tmix", "time_5_kernel"), w5[None, None, None])
+        mix = np.stack([sd[f"{name}.conv3d_time_{i}.weight"][:, :, 0, 0, 0] for i in (1, 2, 3, 4)])
+        setv(params, (name, "tmix", "time_mix_kernel"), mix)
+        bn_into((name, "bn"), name + ".batch")
+
+    for name in ("C3D1", "C3D2", "C3D3", "C3D4", "C3D5"):
+        setv(params, (name, "spatial", "kernel"), t2j_conv(sd[name + ".conv3d_s.weight"]))
+        setv(params, (name, "spatial", "bias"), sd[name + ".conv3d_s.bias"])
+        # temporal mixers here are plain Conv3d (O,I,1,1,1): transpose to (I,O)
+        w5 = sd[name + ".conv3d_t5.weight"][:, :, 0, 0, 0].T
+        setv(params, (name, "tmix", "time_5_kernel"), w5[None, None, None])
+        mix = np.stack([sd[f"{name}.conv3d_t{i}.weight"][:, :, 0, 0, 0].T for i in (1, 2, 3, 4)])
+        setv(params, (name, "tmix", "time_mix_kernel"), mix)
+        bn_into((name, "bn"), name + ".b")
+
+    # ---- pixel transformer decoder (in_chan=64) ----
+    td = "Transformer_Decoder.transformer_decoder.layers.0"
+    dst = ("Transformer_Decoder", "layer0")
+    setv(params, dst + ("norm1", "scale"), sd[td + ".0.fn.norm.weight"])
+    setv(params, dst + ("norm1", "bias"), sd[td + ".0.fn.norm.bias"])
+    for nm in ("q", "k", "v"):
+        setv(params, dst + ("attn", f"to_{nm}", "kernel"),
+             t2j_linear(sd[f"{td}.0.fn.fn.to_{nm}.weight"]))
+    setv(params, dst + ("attn", "to_out", "kernel"), t2j_linear(sd[td + ".0.fn.fn.to_out.0.weight"]))
+    setv(params, dst + ("attn", "to_out", "bias"), sd[td + ".0.fn.fn.to_out.0.bias"])
+    setv(params, dst + ("norm2", "scale"), sd[td + ".1.fn.norm.weight"])
+    setv(params, dst + ("norm2", "bias"), sd[td + ".1.fn.norm.bias"])
+    setv(params, dst + ("ff", "fc1", "kernel"), t2j_linear(sd[td + ".1.fn.fn.net.0.weight"]))
+    setv(params, dst + ("ff", "fc1", "bias"), sd[td + ".1.fn.fn.net.0.bias"])
+    setv(params, dst + ("ff", "fc2", "kernel"), t2j_linear(sd[td + ".1.fn.fn.net.3.weight"]))
+    setv(params, dst + ("ff", "fc2", "bias"), sd[td + ".1.fn.fn.net.3.bias"])
+
+    setv(params, ("classifier_conv", "kernel"), t2j_conv(sd["decoder.conv1.weight"]))
+
+    return {"params": params, "batch_stats": stats}

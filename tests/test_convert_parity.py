@@ -92,3 +92,37 @@ def test_smownet_parity_256(reference_model):
 
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_smownet_lw_parity_256():
+    import jax
+    import jax.numpy as jnp
+
+    from ref_stubs import construct_quiet, load_reference_module
+    from smow_net_tpu.models import get_model
+    from smow_net_tpu.train.convert import load_smownet_lw_state_dict
+
+    ref_mod = load_reference_module("/root/reference/models/SMOW_Net_LW.py", "ref_smow_lw")
+    torch.manual_seed(0)
+    with construct_quiet():
+        reference = ref_mod.SMOW_Net_LW()
+    reference.eval()
+
+    rng = np.random.default_rng(1)
+    x1 = rng.normal(size=(1, 3, 256, 256)).astype(np.float32)
+    x2 = rng.normal(size=(1, 3, 256, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = reference(torch.from_numpy(x1), torch.from_numpy(x2)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in reference.state_dict().items()}
+    model = get_model("smow_net_lw")
+    a = jnp.asarray(np.transpose(x1, (0, 2, 3, 1)))
+    b = jnp.asarray(np.transpose(x2, (0, 2, 3, 1)))
+    variables = model.init(jax.random.PRNGKey(0), a[:, :64, :64], b[:, :64, :64], train=False)
+    variables = load_smownet_lw_state_dict(sd, variables)
+    out = np.asarray(model.apply(variables, a, b, train=False))
+    out = np.transpose(out, (0, 3, 1, 2))
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-3)
