@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cross_scan import cross_merge, cross_merge8, cross_scan, cross_scan8
-from ..ops.scan import selective_scan
+from ..ops.scan import selective_scan_auto
 from ..utils import torch_init
 from .layers import Conv, Dense, gelu
 
@@ -117,7 +117,7 @@ class SS2D(nn.Module):
         Cg = Cs.transpose(0, 2, 1, 3)
         A = -jnp.exp(A_logs.astype(jnp.float32))
 
-        y = selective_scan(u, delta, A, Bg, Cg, Ds, dt_b.reshape(-1), delta_softplus=True)
+        y = selective_scan_auto(u, delta, A, Bg, Cg, Ds, dt_b.reshape(-1), delta_softplus=True)
         ys = y.reshape(B, L, K, Di).transpose(0, 2, 1, 3)   # (B, K, L, Di)
         y = merge(ys, H, W)                                 # (B, L, Di)
         y = nn.LayerNorm(epsilon=1e-5, name="out_norm")(y).reshape(B, H, W, Di)

@@ -22,7 +22,25 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["selective_scan"]
+__all__ = ["selective_scan", "set_scan_impl", "selective_scan_auto"]
+
+_IMPL = "xla"
+
+
+def set_scan_impl(name: str):
+    """Select the scan backend: 'xla' (associative scan) or 'pallas'
+    (single-pass streaming kernel, ops/pallas/scan.py)."""
+    global _IMPL
+    assert name in ("xla", "pallas"), name
+    _IMPL = name
+
+
+def selective_scan_auto(*args, **kwargs):
+    if _IMPL == "pallas":
+        from .pallas.scan import selective_scan_pallas
+
+        return selective_scan_pallas(*args, **kwargs)
+    return selective_scan(*args, **kwargs)
 
 
 def _scan_op(a, b):
