@@ -79,12 +79,21 @@ class Mamba1DCore(nn.Module):
 
 
 class _LocalRelation(nn.Module):
-    """conv_mode='orignal_dinner': conv3 -> SiLU -> conv3 (cd_mamba.py:453-463)."""
+    """conv_mode='orignal_dinner': conv3 -> SiLU -> conv3 (cd_mamba.py:453-463);
+    conv_mode='deepwise': depthwise3x3+pointwise pairs (cd_mamba.py:404-470)."""
 
     d_inner: int
+    conv_mode: str = "orignal_dinner"
 
     @nn.compact
     def __call__(self, x2d: jnp.ndarray) -> jnp.ndarray:
+        if self.conv_mode == "deepwise":
+            dm = x2d.shape[-1]
+            y = Conv(dm, 3, 1, 1, groups=dm, name="dw1")(x2d)
+            y = Conv(dm, 1, name="pw1")(y)
+            y = nn.silu(y)
+            y = Conv(y.shape[-1], 3, 1, 1, groups=y.shape[-1], name="dw2")(y)
+            return Conv(self.d_inner, 1, name="pw2")(y)
         y = Conv(self.d_inner, 3, 1, 1, name="conv1")(x2d)
         y = nn.silu(y)
         return Conv(self.d_inner, 3, 1, 1, name="conv2")(y)
@@ -97,6 +106,7 @@ class ConvMamba(nn.Module):
     d_model: int
     expand: int = 2
     d_state: int = 16
+    conv_mode: str = "orignal_dinner"
 
     @nn.compact
     def __call__(self, x2d: jnp.ndarray) -> jnp.ndarray:
@@ -104,7 +114,8 @@ class ConvMamba(nn.Module):
         Di = self.expand * self.d_model
         R = math.ceil(self.d_model / 16)
         x = x2d.reshape(B, H * W, Dm)
-        local = _LocalRelation(Di, name="local_relation")(x2d).reshape(B, H * W, Di)
+        local = _LocalRelation(Di, self.conv_mode, name="local_relation")(x2d)
+        local = local.reshape(B, H * W, Di)
         xz = Dense(Di * 2, use_bias=False, name="in_proj")(x)
         xx, z = jnp.split(xz, 2, axis=-1)
         fwd = Mamba1DCore(Di, self.d_state, R, name="fwd")(xx)
@@ -179,7 +190,8 @@ class SRCMLayer(nn.Module):
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         skip = self.param("skip_scale", torch_init.ones, (1,))
         flat = x.reshape(B, H * W, C)
-        y = ConvMamba(C, name="convmamba")(norm(flat).reshape(B, H, W, C))
+        y = ConvMamba(C, conv_mode=self.conv_mode, name="convmamba")(
+            norm(flat).reshape(B, H, W, C))
         y = y.reshape(B, H * W, C) + skip * flat
         y = norm(y)
         y = Dense(self.out_dim, name="proj")(y)
@@ -191,16 +203,17 @@ class SRCMBlock(nn.Module):
     (cd_mamba.py:70-118)."""
 
     channels: int
+    conv_mode: str = "orignal_dinner"
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         y = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm1")(x)
         y = nn.relu(y)
-        y = SRCMLayer(self.channels, name="conv1")(y)
+        y = SRCMLayer(self.channels, conv_mode=self.conv_mode, name="conv1")(y)
         y = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm2")(y)
         y = nn.relu(y)
-        y = SRCMLayer(self.channels, name="conv2")(y)
+        y = SRCMLayer(self.channels, conv_mode=self.conv_mode, name="conv2")(y)
         return y + identity
 
 
@@ -265,11 +278,13 @@ class CDMamba(nn.Module):
         x = diffs[0]
         for i in range(len(self.blocks_up)):
             c_out = chans[len(chans) - 2 - i]
-            x = Conv(c_out, 1, name=f"up{i}_conv")(x)
+            # MONAI get_conv_layer default is bias=False (cd_mamba.py:316-321)
+            x = Conv(c_out, 1, use_bias=False, name=f"up{i}_conv")(x)
             x = resize_nearest(x, (x.shape[1] * 2, x.shape[2] * 2), (1, 2))
             x = x + diffs[i + 1]
             for j in range(self.blocks_up[i]):
-                x = SRCMBlock(c_out, name=f"dec{i}_block{j}")(x, train)
+                # decoder blocks use up_conv_mode="deepwise" (recipe)
+                x = SRCMBlock(c_out, conv_mode="deepwise", name=f"dec{i}_block{j}")(x, train)
 
         y = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="final_norm")(x)
         y = nn.relu(y)

@@ -77,3 +77,104 @@ class construct_quiet:
     def __exit__(self, *exc):
         nn.Module.load_state_dict = self._orig
         return False
+
+
+def install_fvcore_stub():
+    if "fvcore" in sys.modules:
+        return
+    fv = types.ModuleType("fvcore")
+    fvnn = types.ModuleType("fvcore.nn")
+    for name in ("FlopCountAnalysis", "flop_count_str", "flop_count", "parameter_count"):
+        setattr(fvnn, name, lambda *a, **k: None)
+    fv.nn = fvnn
+    sys.modules["fvcore"] = fv
+    sys.modules["fvcore.nn"] = fvnn
+
+
+def install_csm_triton_stub():
+    """The reference's Triton cross-scan module (imports triton, absent)."""
+    if "csm_triton" in sys.modules:
+        return
+    m = types.ModuleType("csm_triton")
+
+    class _Never(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, *a):
+            raise RuntimeError("triton stub")
+
+    m.CrossScanTriton = _Never
+    m.CrossMergeTriton = _Never
+    m.CrossScanTriton1b1 = _Never
+    sys.modules["csm_triton"] = m
+
+
+def install_monai_stub():
+    if "monai" in sys.modules:
+        return
+
+    def _pair_pad(k):
+        return k // 2 if isinstance(k, int) else tuple(x // 2 for x in k)
+
+    def get_conv_layer(spatial_dims, in_channels, out_channels, kernel_size=3,
+                       stride=1, bias=False):
+        assert spatial_dims == 2
+        return nn.Conv2d(in_channels, out_channels, kernel_size, stride,
+                         _pair_pad(kernel_size), bias=bias)
+
+    def get_upsample_layer(spatial_dims, channels, upsample_mode=None, scale_factor=2):
+        return nn.Upsample(scale_factor=scale_factor, mode="nearest")
+
+    def get_norm_layer(name, spatial_dims=2, channels=1):
+        kind, kwargs = (name if isinstance(name, (tuple, list)) else (name, {}))
+        assert str(kind).lower() == "group"
+        return nn.GroupNorm(kwargs.get("num_groups", 8), channels)
+
+    def get_act_layer(act):
+        kind = act[0] if isinstance(act, (tuple, list)) else act
+        return {"relu": nn.ReLU(), "silu": nn.SiLU()}[str(kind).lower()]
+
+    class UpsampleMode(str):
+        NONTRAINABLE = "nontrainable"
+
+        def __new__(cls, v="nontrainable"):
+            return str.__new__(cls, v)
+
+    class _DropoutFactory:
+        DROPOUT = "dropout"
+
+        def __getitem__(self, key):
+            return nn.Dropout2d
+
+    modules = {
+        "monai": types.ModuleType("monai"),
+        "monai.networks": types.ModuleType("monai.networks"),
+        "monai.networks.blocks": types.ModuleType("monai.networks.blocks"),
+        "monai.networks.blocks.convolutions": types.ModuleType("monai.networks.blocks.convolutions"),
+        "monai.networks.blocks.segresnet_block": types.ModuleType("monai.networks.blocks.segresnet_block"),
+        "monai.networks.layers": types.ModuleType("monai.networks.layers"),
+        "monai.networks.layers.factories": types.ModuleType("monai.networks.layers.factories"),
+        "monai.networks.layers.utils": types.ModuleType("monai.networks.layers.utils"),
+        "monai.utils": types.ModuleType("monai.utils"),
+    }
+    modules["monai.networks.blocks.convolutions"].Convolution = nn.Conv2d
+    sb = modules["monai.networks.blocks.segresnet_block"]
+    sb.ResBlock = nn.Identity
+    sb.get_conv_layer = get_conv_layer
+    sb.get_upsample_layer = get_upsample_layer
+    modules["monai.networks.layers.factories"].Dropout = _DropoutFactory()
+    lu = modules["monai.networks.layers.utils"]
+    lu.get_act_layer = get_act_layer
+    lu.get_norm_layer = get_norm_layer
+    modules["monai.utils"].UpsampleMode = UpsampleMode
+    sys.modules.update(modules)
+
+
+def install_causal_conv1d_stub():
+    """cd_mamba.py:378-381's ImportError fallback is itself buggy
+    (`a, b = None` unpack) — provide the module so the try-branch wins."""
+    if "causal_conv1d" in sys.modules:
+        return
+    m = types.ModuleType("causal_conv1d")
+    m.causal_conv1d_fn = lambda *a, **k: None
+    m.causal_conv1d_update = lambda *a, **k: None
+    sys.modules["causal_conv1d"] = m

@@ -115,3 +115,80 @@ def test_pa_former_params():
     with construct_quiet():
         m = ref.PA_Former(n_class=2, backbone="resnet18", output_stride=16)
     assert our_param_count("pa_former") == torch_count(m)
+
+
+def test_seifnet_params():
+    ref = load_reference_module(f"{REF_DIR}/SEIFNet.py", "ref_seif")
+    with construct_quiet():
+        m = ref.SEIFNet(input_nc=3, output_nc=2)
+    # dead in the reference: imagenet fc head, the inherited Backbone
+    # classifier (never called in SEIFNet.forward), and each ACFF's unused
+    # `self.conv` (the "cat -> +" rewrite removed its use, SEIFNet.py:592)
+    dead = dead_count(m, ["backbone.fc", "classifier",
+                          "ACFF1.conv", "ACFF2.conv", "ACFF3.conv"])
+    assert our_param_count("seifnet") == torch_count(m) - dead
+
+
+def test_rs_mamba_params():
+    from ref_stubs import install_csm_triton_stub, install_fvcore_stub
+
+    install_fvcore_stub()
+    install_csm_triton_stub()
+    ref = load_reference_module(f"{REF_DIR}/rs_mamba.py", "ref_rsm")
+    with construct_quiet():
+        m = ref.RSM_CD(drop_path_rate=0.2, dims=96, depths=[2, 2, 9, 2], ssm_d_state=16,
+                       ssm_dt_rank="auto", ssm_ratio=2.0, mlp_ratio=4.0,
+                       downsample_version="v3", patchembed_version="v2")
+    assert our_param_count("rs_mamba") == torch_count(m)
+
+
+def test_cd_mamba_params():
+    from ref_stubs import install_causal_conv1d_stub, install_monai_stub
+
+    install_monai_stub()
+    install_causal_conv1d_stub()
+    ref = load_reference_module(f"{REF_DIR}/cd_mamba.py", "ref_cdm")
+    with construct_quiet():
+        m = ref.CDMamba(spatial_dims=2, in_channels=3, init_filters=16, out_channels=2,
+                        mode="AGLGF", conv_mode="orignal_dinner", up_mode="SRCM",
+                        up_conv_mode="deepwise", norm=["GROUP", {"num_groups": 8}],
+                        blocks_down=[1, 2, 2, 4], blocks_up=[1, 1, 1], resdiual=False,
+                        diff_abs="later", stage=2, mamba_act="relu",
+                        local_query_model="orignal_dinner")
+    # dead in the reference at stage=2: fusion modules for levels 3/4 are
+    # constructed but never called (cd_mamba.py:369-374), and the
+    # skip_scale params in L_GF/G_GF are unused with resdiual=False
+    dead = dead_count(m, ["l_gf3", "l_gf4", "g_gf3", "g_gf4", "ag3", "ag4"])
+    dead += sum(p.numel() for n, p in m.named_parameters()
+                if n.endswith("skip_scale") and ("l_gf" in n or "g_gf" in n)
+                and ("3" not in n and "4" not in n))
+    assert our_param_count("cd_mamba") == torch_count(m) - dead
+
+
+def test_change_mamba_params():
+    import sys
+
+    from ref_stubs import install_csm_triton_stub, install_fvcore_stub, install_timm_stub
+
+    install_timm_stub()
+    install_fvcore_stub()
+    install_csm_triton_stub()
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+
+        cm = importlib.import_module("compare.change_mamba")
+    finally:
+        sys.path.remove("/root/reference")
+    with construct_quiet():
+        m = cm.Changemamba(
+            device=torch.device("cpu"), pretrained=None, patch_size=4, in_chans=3,
+            num_classes=1000, depths=[2, 2, 9, 2], dims=96, ssm_d_state=16,
+            ssm_ratio=2.0, ssm_rank_ratio=2.0, ssm_dt_rank="auto", ssm_act_layer="silu",
+            ssm_conv=3, ssm_conv_bias=True, ssm_drop_rate=0.0, ssm_init="v0",
+            forward_type="v2", mlp_ratio=4.0, mlp_act_layer="gelu", mlp_drop_rate=0.0,
+            drop_path_rate=0.1, patch_norm=True, norm_layer="ln",
+            downsample_version="v2", patchembed_version="v2", gmlp=False,
+            use_checkpoint=False,
+        )
+    assert our_param_count("change_mamba") == torch_count(m)
