@@ -20,7 +20,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from .transforms import aberration, imagenet_normalize, shared_geometric
+from .transforms import apply_params, imagenet_normalize, sample_params
 
 __all__ = ["CDDataset", "DataLoader", "prefetch_to_device", "generate_synthetic_dataset"]
 
@@ -61,16 +61,27 @@ class CDDataset:
         a = _imread(join(self._a, name))[..., :3]
         b = _imread(join(self._b, name))[..., :3]
         m = _binarize(_imread(join(self._label, name)))
-        if self.augment:
-            rng = np.random.default_rng((self._seed, epoch, idx))
-            a, b, m = shared_geometric(rng, a, b, m)
-            a = aberration(rng, a)
-            b = aberration(rng, b)
-        return {
-            "A": imagenet_normalize(a),
-            "B": imagenet_normalize(b),
-            "mask": m.astype(np.float32),
-        }
+        if not self.augment:
+            return {"A": imagenet_normalize(a), "B": imagenet_normalize(b),
+                    "mask": m.astype(np.float32)}
+        rng = np.random.default_rng((self._seed, epoch, idx))
+        p = sample_params(rng)
+        from ..runtime import native
+
+        if native.available():
+            a = np.ascontiguousarray(a, np.float32)
+            b = np.ascontiguousarray(b, np.float32)
+            m = np.ascontiguousarray(m, np.float32)
+            native.augment_sample(
+                a, b, m, p["flip_d"], p["angle"],
+                p["a"]["cb"], p["a"]["alpha"], p["a"]["beta"], p["a"]["blur"],
+                p["b"]["cb"], p["b"]["alpha"], p["b"]["beta"], p["b"]["blur"],
+                normalize=True,
+            )
+            return {"A": a, "B": b, "mask": m}
+        a, b, m = apply_params(p, a, b, m)
+        return {"A": imagenet_normalize(a), "B": imagenet_normalize(b),
+                "mask": m.astype(np.float32)}
 
 
 class DataLoader:

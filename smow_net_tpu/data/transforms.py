@@ -68,3 +68,41 @@ def aberration(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
 
 def imagenet_normalize(img: np.ndarray) -> np.ndarray:
     return ((img.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+
+
+def sample_params(rng: np.random.Generator) -> dict:
+    """Draw all augmentation randomness up front (identical draw order to
+    the sequential path, so native and numpy pipelines produce the same
+    datasets for the same seeds)."""
+    p = {"flip_d": -2, "angle": 0.0}
+    if rng.random() < 0.5:
+        p["flip_d"] = int(rng.integers(-1, 2))
+    if rng.random() < 0.5:
+        p["angle"] = float(rng.uniform(-5.0, 5.0))
+    for img in ("a", "b"):
+        cb = rng.random() < 0.5
+        alpha = 1.0 + float(rng.uniform(-0.2, 0.2)) if cb else 1.0
+        beta = float(rng.uniform(-0.2, 0.2)) if cb else 0.0
+        blur = int(rng.choice([3, 5])) if rng.random() < 0.5 else 0
+        p[img] = {"cb": cb, "alpha": alpha, "beta": beta, "blur": blur}
+    return p
+
+
+def apply_params(p: dict, a: np.ndarray, b: np.ndarray, mask: np.ndarray):
+    """Numpy/cv2 application of pre-sampled params (reference semantics)."""
+    if p["flip_d"] != -2:
+        a, b, mask = _flip(a, p["flip_d"]), _flip(b, p["flip_d"]), _flip(mask, p["flip_d"])
+    if p["angle"] != 0.0:
+        a = _rotate(a, p["angle"], nearest=False)
+        b = _rotate(b, p["angle"], nearest=False)
+        mask = _rotate(mask.astype(np.float32), p["angle"], nearest=True)
+    outs = []
+    for img, key in ((a, "a"), (b, "b")):
+        q = p[key]
+        if q["cb"]:
+            img = img * q["alpha"] + q["beta"]
+        if q["blur"]:
+            img = cv2.GaussianBlur(np.ascontiguousarray(img, np.float32),
+                                   (q["blur"], q["blur"]), 0)
+        outs.append(np.ascontiguousarray(img))
+    return outs[0], outs[1], np.ascontiguousarray(mask)
