@@ -88,9 +88,13 @@ class AFCF3D(nn.Module):
         xs = [Reduction3D(ch, name=f"reduction{i}")(v, train)
               for i, v in enumerate((x0, f1, f2, f3, f4))]
 
-        # ---- AFCF fusion (shared AFCF2 across middle levels) ----
-        up_conv = BasicConv3d(ch, (3, 3, 3), padding=(1, 1, 1), name="afcf_conv_up")
-        down_conv = BasicConv3d(ch, (1, 3, 3), (1, 2, 2), (0, 1, 1), name="afcf_conv_down")
+        # ---- AFCF fusion: AFCF1/AFCF2/AFCF3 each own their up/down convs;
+        # the single AFCF2 instance is reused for levels 2-4 (reference
+        # Feature_fusion, compare/AFCF3D_NET.py:105-118) ----
+        up1 = BasicConv3d(ch, (3, 3, 3), padding=(1, 1, 1), name="AFCF1_conv_up")
+        up2 = BasicConv3d(ch, (3, 3, 3), padding=(1, 1, 1), name="AFCF2_conv_up")
+        down2 = BasicConv3d(ch, (1, 3, 3), (1, 2, 2), (0, 1, 1), name="AFCF2_conv_down")
+        down3 = BasicConv3d(ch, (1, 3, 3), (1, 2, 2), (0, 1, 1), name="AFCF3_conv_down")
 
         def cat_block(prefix):
             c1 = BasicConv3d(ch, (3, 3, 3), padding=(1, 1, 1), name=prefix + "_cat0")
@@ -104,12 +108,12 @@ class AFCF3D(nn.Module):
             feat = _se_apply(lambda v, tr: se(v, tr), feat, train)
             return feat + skip
 
-        a1 = fuse(xs[0] + up_conv(_up2(xs[1]), train), xs[0], cat_block("AFCF1"))
+        a1 = fuse(xs[0] + up1(_up2(xs[1]), train), xs[0], cat_block("AFCF1"))
         afcf2 = cat_block("AFCF2")
-        a2 = fuse(down_conv(xs[0], train) + xs[1] + up_conv(_up2(xs[2]), train), xs[1], afcf2)
-        a3 = fuse(down_conv(xs[1], train) + xs[2] + up_conv(_up2(xs[3]), train), xs[2], afcf2)
-        a4 = fuse(down_conv(xs[2], train) + xs[3] + up_conv(_up2(xs[4]), train), xs[3], afcf2)
-        a5 = fuse(down_conv(xs[3], train) + xs[4], xs[4], cat_block("AFCF3"))
+        a2 = fuse(down2(xs[0], train) + xs[1] + up2(_up2(xs[2]), train), xs[1], afcf2)
+        a3 = fuse(down2(xs[1], train) + xs[2] + up2(_up2(xs[3]), train), xs[2], afcf2)
+        a4 = fuse(down2(xs[2], train) + xs[3] + up2(_up2(xs[4]), train), xs[3], afcf2)
+        a5 = fuse(down3(xs[3], train) + xs[4], xs[4], cat_block("AFCF3"))
         x0, f1, f2, f3, f4 = a1, a2, a3, a4, a5
 
         # ---- UNet3++ decoder: concat along TIME (5 levels x T=2 -> T=10) ----

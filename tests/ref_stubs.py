@@ -178,3 +178,36 @@ def install_causal_conv1d_stub():
     m.causal_conv1d_fn = lambda *a, **k: None
     m.causal_conv1d_update = lambda *a, **k: None
     sys.modules["causal_conv1d"] = m
+
+
+def install_torchvision_stub():
+    """Provide torchvision.models.vgg16 (features only) for IFN."""
+    if "torchvision" in sys.modules:
+        return
+
+    def vgg16(pretrained=False, **kw):
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers = []
+        in_c = 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers.append(nn.Conv2d(in_c, v, 3, padding=1))
+                layers.append(nn.ReLU(inplace=True))
+                in_c = v
+
+        class VGG(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.features = nn.Sequential(*layers)
+
+        return VGG()
+
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    models.vgg16 = vgg16
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models

@@ -192,3 +192,33 @@ def test_change_mamba_params():
             use_checkpoint=False,
         )
     assert our_param_count("change_mamba") == torch_count(m)
+
+
+def test_ifn_params():
+    from ref_stubs import install_torchvision_stub
+
+    install_torchvision_stub()
+    ref = load_reference_module(f"{REF_DIR}/IFN.py", "ref_ifn")
+    with construct_quiet():
+        m = ref.DSIFN()
+    # ca1 and the intermediate o*_conv3/o*_conv4 prediction heads are dead
+    # (IFN.py:125,131,144,155,166 — commented-out branch outputs)
+    dead = dead_count(m, ["ca1", "bn_ca1", "bn_ca2", "o1_conv3", "o2_conv4",
+                          "o3_conv4", "o4_conv4"])
+    assert our_param_count("ifn") == torch_count(m) - dead
+
+
+def test_afcf3d_params():
+    import test_convert_parity as tcp
+
+    ref = load_reference_module(f"{REF_DIR}/AFCF3D_NET.py", "ref_afcf")
+    with construct_quiet():
+        m = ref.AFCF3D_NET(32, tcp.build_resnet18())
+    # dead in the reference: superD*/superout* deep-supervision heads
+    # (AFCF3D_NET.py:294-330, never called), AFCF1.conv_down (forward uses
+    # only conv_up, :133-151), and Decoder.downT0 (forward uses downT3..1 +
+    # downfinal only, :332-421)
+    dead = dead_count(m, [f"decoder.output.superD{i}" for i in (1, 2, 3, 4)]
+                      + [f"decoder.output.superout{i}" for i in (1, 2, 3, 4)]
+                      + ["decoder.AFCF_fuse.AFCF1.conv_down", "decoder.output.downT0"])
+    assert our_param_count("afcf3d") == torch_count(m) - dead

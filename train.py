@@ -112,15 +112,22 @@ def main(opt):
     eval_step = make_eval_step(model, mesh)
     jsonl = open(os.path.join(opt.output_dir, "metrics.jsonl"), "a")
 
+    import collections
+
     for epoch in range(start_epoch, opt.epochs + 1):
         t0 = time.time()
         state = state.reset_metrics()
+        # windowed loss meter (reference AvgMeter(num=40), utils/func.py:11-31);
+        # device arrays are held lazily and only synced at print time
+        window = collections.deque(maxlen=40)
         for i, batch in enumerate(prefetch_to_device(iter(train_loader), mesh), start=1):
             state, loss = train_step(state, batch)
+            window.append(loss)
             if i % 100 == 0 or i == iters_per_epoch:
+                avg = float(np.mean([float(l) for l in window]))
                 print(
                     f"Epoch [{epoch:03d}/{opt.epochs:03d}], Step [{i:04d}/{iters_per_epoch:04d}],"
-                    f" Loss: {float(loss):.4f}"
+                    f" Loss: {avg:.4f}"
                 )
         train_scores = cm2score(np.asarray(state.cm))
         train_loss = float(state.loss_sum / jnp.maximum(state.loss_count, 1))
