@@ -42,16 +42,23 @@ def main():
         x2 = x2.astype(jnp.bfloat16)
 
     @jax.jit
-    def fwd(a, b):
-        return model.apply(variables, a, b, train=False)
+    def fwd_loop(a, b):
+        # ITERS forwards inside ONE executable: measures pure device
+        # throughput, excluding host->device dispatch latency (this
+        # environment's TPU tunnel adds ~20ms RTT per dispatch otherwise).
+        # Each iteration's input depends on the previous output so XLA
+        # cannot hoist the (loop-invariant) forward out of the loop.
+        def body(_, carry):
+            out = model.apply(variables, a + carry.astype(a.dtype), b, train=False)
+            # consume the FULL output (a slice would let XLA dead-code-
+            # eliminate most of the network inside the loop)
+            return (jnp.mean(out) * 1e-9).astype(jnp.float32)
 
-    # warmup / compile
-    jax.block_until_ready(fwd(x1, x2))
-    jax.block_until_ready(fwd(x1, x2))
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
 
+    jax.block_until_ready(fwd_loop(x1, x2))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fwd(x1, x2)
+    out = fwd_loop(x1, x2)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     pairs_per_sec = BATCH * ITERS / dt
