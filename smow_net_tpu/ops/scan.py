@@ -24,19 +24,26 @@ import jax.numpy as jnp
 
 __all__ = ["selective_scan", "set_scan_impl", "selective_scan_auto"]
 
-_IMPL = "xla"
+_IMPL = "auto"
 
 
 def set_scan_impl(name: str):
-    """Select the scan backend: 'xla' (associative scan) or 'pallas'
-    (single-pass streaming kernel, ops/pallas/scan.py)."""
+    """Select the scan backend: 'auto' (pallas on TPU, xla elsewhere),
+    'xla' (associative scan) or 'pallas' (single-pass streaming kernel,
+    ops/pallas/scan.py — measured 15x faster than the associative path on
+    v5e at SS2D shapes: 6.6ms vs 99.7ms for B=4, L=4096, KD=192, N=16)."""
     global _IMPL
-    assert name in ("xla", "pallas"), name
+    assert name in ("auto", "xla", "pallas"), name
     _IMPL = name
 
 
 def selective_scan_auto(*args, **kwargs):
-    if _IMPL == "pallas":
+    impl = _IMPL
+    if impl == "auto":
+        import jax as _jax
+
+        impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
         from .pallas.scan import selective_scan_pallas
 
         return selective_scan_pallas(*args, **kwargs)
