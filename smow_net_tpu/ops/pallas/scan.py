@@ -31,48 +31,64 @@ from ..scan import selective_scan as _reference_scan
 __all__ = ["selective_scan_pallas"]
 
 
-def _scan_kernel(dA_ref, dBu_ref, h_ref, *, length: int, step: int):
-    """One grid program owns one (batch, channel-block): refs are
-    (1, 1, L, DN). Walks L in `step`-row slabs; within a slab the recurrence
-    unrolls over rows (static python loop -> straight-line VPU code)."""
-    dn = dA_ref.shape[-1]
+def _scan_kernel(dA_ref, dBu_ref, h_ref, state, *, chunk: int, step: int):
+    """Grid (B, D_blocks, L_chunks); the L axis is a *sequential* grid
+    dimension — `state` (VMEM scratch) carries the hidden state across
+    chunk iterations. Within a chunk the recurrence unrolls over `step`-row
+    slabs (straight-line VPU code)."""
+    li = pl.program_id(2)
+
+    @pl.when(li == 0)
+    def _():
+        state[:] = jnp.zeros_like(state)
 
     def slab(i, h):
+        # h: (1, dn) — TPU vector ops want >= 2-D
         base = i * step
         a = dA_ref[0, 0, pl.ds(base, step), :]
         b = dBu_ref[0, 0, pl.ds(base, step), :]
         rows = []
         for r in range(step):
-            h = a[r] * h + b[r]
+            h = a[r : r + 1, :] * h + b[r : r + 1, :]
             rows.append(h)
-        h_ref[0, 0, pl.ds(base, step), :] = jnp.stack(rows, axis=0)
+        h_ref[0, 0, pl.ds(base, step), :] = jnp.concatenate(rows, axis=0)
         return h
 
-    jax.lax.fori_loop(0, length // step, slab, jnp.zeros((dn,), jnp.float32))
+    h = jax.lax.fori_loop(0, chunk // step, slab, state[:, :])
+    state[:, :] = h
 
 
-def _scan_states(dA: jnp.ndarray, dBu: jnp.ndarray, block_d: int = 8) -> jnp.ndarray:
+def _scan_states(dA: jnp.ndarray, dBu: jnp.ndarray, block_d: int = 8,
+                 max_chunk: int = 1024) -> jnp.ndarray:
     """dA, dBu: (B, L, D, N) fp32 -> h: (B, L, D, N) via the Pallas kernel."""
     B, L, D, N = dA.shape
     bd = min(block_d, D)
     while D % bd:
         bd -= 1
     dblocks = D // bd
-    dA2 = dA.reshape(B, L, dblocks, bd * N).transpose(0, 2, 1, 3)
-    dBu2 = dBu.reshape(B, L, dblocks, bd * N).transpose(0, 2, 1, 3)
+    dn = bd * N
+    dA2 = dA.reshape(B, L, dblocks, dn).transpose(0, 2, 1, 3)
+    dBu2 = dBu.reshape(B, L, dblocks, dn).transpose(0, 2, 1, 3)
 
+    chunk = min(max_chunk, L)
+    while L % chunk:
+        chunk //= 2
     step = 8
-    while L % step:
+    while chunk % step:
         step //= 2
-    kernel = functools.partial(_scan_kernel, length=L, step=step)
-    spec = pl.BlockSpec((1, 1, L, bd * N), lambda b, d: (b, d, 0, 0),
+    kernel = functools.partial(_scan_kernel, chunk=chunk, step=step)
+    spec = pl.BlockSpec((1, 1, chunk, dn), lambda b, d, l: (b, d, l, 0),
                         memory_space=pltpu.VMEM)
     h = pl.pallas_call(
         kernel,
-        grid=(B, dblocks),
+        grid=(B, dblocks, L // chunk),
         in_specs=[spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, dblocks, L, bd * N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, dblocks, L, dn), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, dn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
     )(dA2, dBu2)
     return h.transpose(0, 2, 1, 3).reshape(B, L, D, N)
 
