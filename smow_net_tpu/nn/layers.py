@@ -120,8 +120,7 @@ class Dense(nn.Module):
         in_c = x.shape[-1]
         kinit = self.kernel_init or torch_init.kaiming_uniform_torch(in_c)
         kernel = self.param("kernel", kinit, (in_c, self.features))
-        y = jnp.matmul(x, kernel.astype(x.dtype),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.matmul(x, kernel.astype(x.dtype))
         if self.use_bias:
             b = self.param("bias", torch_init.uniform_fan_in_bias(in_c), (self.features,))
             y = y + b.astype(x.dtype)

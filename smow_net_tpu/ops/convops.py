@@ -61,8 +61,10 @@ def conv(
         rhs_dilation=dilation,
         dimension_numbers=_dim_numbers(n),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,  # MXU accumulates fp32 even for bf16 inputs
-    ).astype(x.dtype)
+        preferred_element_type=x.dtype,  # NB: TPU MXU accumulates fp32 in
+        # hardware regardless; requesting f32 output here breaks the conv
+        # transpose rule under autodiff with bf16 operands
+    )
 
 
 def conv_transpose(
@@ -93,8 +95,10 @@ def conv_transpose(
         lhs_dilation=stride,
         dimension_numbers=_dim_numbers(n),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,  # MXU accumulates fp32 even for bf16 inputs
-    ).astype(x.dtype)
+        preferred_element_type=x.dtype,  # NB: TPU MXU accumulates fp32 in
+        # hardware regardless; requesting f32 output here breaks the conv
+        # transpose rule under autodiff with bf16 operands
+    )
 
 
 def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
@@ -112,5 +116,7 @@ def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, groups: int = 1) -> jnp.n
         padding=[(k - 1, 0)],
         dimension_numbers=_dim_numbers(n),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,  # MXU accumulates fp32 even for bf16 inputs
-    ).astype(x.dtype)
+        preferred_element_type=x.dtype,  # NB: TPU MXU accumulates fp32 in
+        # hardware regardless; requesting f32 output here breaks the conv
+        # transpose rule under autodiff with bf16 operands
+    )

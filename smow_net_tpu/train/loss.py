@@ -22,6 +22,10 @@ def _weights(pred: jnp.ndarray, valid) -> jnp.ndarray:
 
 
 def bce_loss(pred: jnp.ndarray, gt: jnp.ndarray, valid=None) -> jnp.ndarray:
+    # clip before the logs: at bf16-saturated predictions (exactly 0/1 after
+    # the cast) the gradient of a clamped log is 0 * inf = NaN otherwise;
+    # inactive for fp32 interior values, so torch-golden parity holds
+    pred = jnp.clip(pred, 1e-12, 1.0 - 1e-7)
     log_p = jnp.maximum(jnp.log(pred), -100.0)
     log_1p = jnp.maximum(jnp.log1p(-pred), -100.0)
     elem = -(gt * log_p + (1.0 - gt) * log_1p)

@@ -88,23 +88,39 @@ def create_train_state(model, rng, sample_batch, tx) -> TrainState:
     )
 
 
-def make_train_step(model, mesh=None, donate: bool = True):
+def make_train_step(model, mesh=None, donate: bool = True, compute_dtype=None):
+    """compute_dtype=jnp.bfloat16 enables mixed precision: master params and
+    grads stay fp32; forward/backward run in bf16 (fp32 MXU accumulation via
+    the conv ops); the loss is evaluated on fp32-cast predictions."""
+
     def step_fn(state: TrainState, batch):
         x1, x2, gt = batch["A"], batch["B"], batch["mask"]
         valid = batch.get("valid")
+        if compute_dtype is not None:
+            x1 = x1.astype(compute_dtype)
+            x2 = x2.astype(compute_dtype)
 
         dropout_rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):
+            p = params
+            if compute_dtype is not None:
+                p = jax.tree_util.tree_map(lambda w: w.astype(compute_dtype), params)
             out, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": p, "batch_stats": state.batch_stats},
                 x1, x2, train=True, mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
-            pred = select_pred(out)
+            pred = select_pred(out).astype(jnp.float32)
             return bce_dice_loss(pred, gt, valid), (pred, mut)
 
         (loss, (pred, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_stats = mut["batch_stats"]
+        if compute_dtype is not None:
+            grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+            new_stats = jax.tree_util.tree_map(
+                lambda s: s.astype(jnp.float32), new_stats)
+        mut = {"batch_stats": new_stats}
         updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         cm = state.cm + confusion_matrix(pred, gt, valid=valid)

@@ -62,3 +62,31 @@ def test_multistep_schedule():
     assert abs(float(sched(0)) - 1e-3) < 1e-9
     assert abs(float(sched(25)) - 1e-4) < 1e-9
     assert abs(float(sched(45)) - 1e-5) < 1e-9
+
+
+def test_bf16_train_step_runs_and_learns():
+    import jax
+    import jax.numpy as jnp
+
+    from smow_net_tpu.models import get_model
+    from smow_net_tpu.train.schedule import get_schedule
+    from smow_net_tpu.train.trainer import create_train_state, make_optimizer, make_train_step
+
+    model = get_model("fc_ef")
+    batch = {
+        "A": jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32),
+        "B": jnp.asarray(np.random.default_rng(1).normal(size=(2, 32, 32, 3)), jnp.float32),
+        "mask": (jnp.arange(32)[None, :, None] < 16).astype(jnp.float32)
+                * jnp.ones((2, 32, 32), jnp.float32),
+    }
+    tx = make_optimizer(get_schedule("cosine", 1e-3, 1, 8), 1e-4, 0.5)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
+    step = make_train_step(model, compute_dtype=jnp.bfloat16, donate=False)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # master params stay fp32
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(state.params))

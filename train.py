@@ -46,7 +46,7 @@ def parse_option():
     p.add_argument("--seed", type=int, default=2022)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--resume", type=str, default="")
-    p.add_argument("--bf16", action="store_true", help="run the matmul-heavy path in bfloat16")
+    p.add_argument("--bf16", action="store_true", help="mixed-precision training: bf16 forward/backward, fp32 master params")
     return p.parse_args()
 
 
@@ -108,7 +108,8 @@ def main(opt):
         best_iou = float(restored.get("best_iou", -1.0))
         print(f"resumed from {opt.resume} at epoch {start_epoch}")
 
-    train_step = make_train_step(model, mesh)
+    compute_dtype = jnp.bfloat16 if opt.bf16 else None
+    train_step = make_train_step(model, mesh, compute_dtype=compute_dtype)
     eval_step = make_eval_step(model, mesh)
     jsonl = open(os.path.join(opt.output_dir, "metrics.jsonl"), "a")
 
