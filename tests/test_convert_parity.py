@@ -126,3 +126,53 @@ def test_smownet_lw_parity_256():
 
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_fc_ef_output_parity():
+    """Zoo output parity beyond parameter counts: convert a random-init
+    reference FC_EF and compare full outputs (eval mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ref_stubs import load_reference_module
+    from smow_net_tpu.models import get_model
+    from smow_net_tpu.train.convert import t2j_conv, t2j_conv_transpose
+
+    ref_mod = load_reference_module("/root/reference/compare/FC_EF.py", "ref_fcef_p")
+    torch.manual_seed(1)
+    reference = ref_mod.FC_EF(3, 2)
+    reference.eval()
+    sd = {k: v.detach().numpy() for k, v in reference.state_dict().items()}
+
+    model = get_model("fc_ef")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    encoder = {f"conv{i}{j}" for i, n in ((1, 2), (2, 2), (3, 3), (4, 3))
+               for j in range(1, n + 1)}
+    for name in list(params.keys()):
+        if name.endswith("_bn"):
+            src = "bn" + name[4:-3]  # convXY_bn -> bnXY (incl. trailing 'd')
+            params[name]["scale"] = sd[src + ".weight"]
+            params[name]["bias"] = sd[src + ".bias"]
+            stats[name]["mean"] = sd[src + ".running_mean"]
+            stats[name]["var"] = sd[src + ".running_var"]
+        else:
+            w = sd[name + ".weight"]
+            conv = t2j_conv(w) if name in encoder else t2j_conv_transpose(w)
+            assert params[name]["kernel"].shape == conv.shape, name
+            params[name]["kernel"] = conv
+            params[name]["bias"] = sd[name + ".bias"]
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    b = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = reference(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(np.transpose(a, (0, 2, 3, 1))),
+                      jnp.asarray(np.transpose(b, (0, 2, 3, 1))), train=False)
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
