@@ -24,6 +24,11 @@ _init = torch_init.kaiming_normal_fan_out
 
 
 class BasicBlock(nn.Module):
+    """NB: the reference's vendored BasicBlock silently resets dilation>1 to 1
+    (compare/BIT.py:260-262 — the NotImplementedError is commented out), so
+    replace_stride_with_dilation only removes strides and never dilates. We
+    reproduce that quirk: dilation/prev_dilation are accepted but ignored."""
+
     planes: int
     stride: int = 1
     dilation: int = 1
@@ -32,11 +37,11 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        y = Conv(self.planes, 3, self.stride, self.prev_dilation, dilation=self.prev_dilation,
+        y = Conv(self.planes, 3, self.stride, 1,
                  use_bias=False, kernel_init=_init, name="conv1")(x)
         y = batch_norm("bn1")(y, use_running_average=not train)
         y = nn.relu(y)
-        y = Conv(self.planes, 3, 1, self.dilation, dilation=self.dilation, use_bias=False,
+        y = Conv(self.planes, 3, 1, 1, use_bias=False,
                  kernel_init=_init, name="conv2")(y)
         y = batch_norm("bn2")(y, use_running_average=not train)
         if self.stride != 1 or x.shape[-1] != self.planes:

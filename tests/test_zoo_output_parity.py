@@ -148,6 +148,115 @@ def test_a2net_output_parity():
     )
 
 
+RESNET_RENAMES = (
+    (r"\.layer(\d)_(\d)", r".layer\1.\2"),
+    (r"\.downsample_conv$", ".downsample.0"),
+    (r"\.downsample_bn$", ".downsample.1"),
+)
+
+
+def test_tfi_gr_output_parity():
+    ref = load_reference_module(f"{REF_DIR}/TFI_GR.py", "ref_tfigr_op")
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.TFI_GR(3, 1)
+    run_parity(
+        "tfi_gr", m,
+        renames=RESNET_RENAMES + (
+            (r"^(CIEM\d)\.conv_dr$", r"\1.conv_dr.0"),
+            (r"^(CIEM\d)\.conv_dr_bn$", r"\1.conv_dr.1"),
+            (r"^(CIEM\d)\.conv_pool(\d)$", r"\1.conv_pool\2.1"),
+            (r"^(GRM\d|TFIM\d)\.(conv_\w+?)_conv$", r"\1.\2.0"),
+            (r"^(GRM\d|TFIM\d)\.(conv_\w+?)_bn$", r"\1.\2.1"),
+            (r"^decoder_conv_sum1_conv$", "decoder.conv_sum1.0"),
+            (r"^decoder_conv_sum1_bn$", "decoder.conv_sum1.1"),
+            (r"^decoder_cls$", "decoder.cls"),
+        ),
+        allow_unconsumed=(r"^backbone\.fc\.", r"^decoder\.conv_sum[23]\."),
+    )
+
+
+def test_seifnet_output_parity():
+    ref = load_reference_module(f"{REF_DIR}/SEIFNet.py", "ref_seif_op")
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.SEIFNet(input_nc=3, output_nc=2)
+    run_parity(
+        "seifnet", m,
+        renames=RESNET_RENAMES + (
+            (r"^(sam_p\d)\.cbam_ca\.fc1$", r"\1.cbam.channel_attention.shared_MLP.0"),
+            (r"^(sam_p\d)\.cbam_ca\.fc2$", r"\1.cbam.channel_attention.shared_MLP.2"),
+            (r"^(sam_p\d)\.cbam_sa$", r"\1.cbam.spatial_attention.conv2d"),
+            (r"^(sam_p\d)\.conv2$", r"\1.conv2.0"),
+            (r"^(sam_p\d)\.conv2_bn$", r"\1.conv2.1"),
+        ),
+        allow_unconsumed=(r"^backbone\.fc\.", r"^classifier\.", r"^ACFF\d\.conv\."),
+    )
+
+
+def test_bit_output_parity():
+    ref = load_reference_module(f"{REF_DIR}/BIT.py", "ref_bit_op")
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.BIT(3, 2, token_len=4, resnet_stages_num=4, with_pos="learned",
+                    enc_depth=1, dec_depth=8, decoder_dim_head=8)
+    run_parity(
+        "bit", m,
+        renames=RESNET_RENAMES + (
+            (r"^enc0_attn\.to_out$", "transformer.layers.0.0.fn.fn.to_out.0"),
+            (r"^enc0_attn\.(\w+)$", r"transformer.layers.0.0.fn.fn.\1"),
+            (r"^enc0_norm1$", "transformer.layers.0.0.fn.norm"),
+            (r"^enc0_norm2$", "transformer.layers.0.1.fn.norm"),
+            (r"^enc0_ff\.fc1$", "transformer.layers.0.1.fn.fn.net.0"),
+            (r"^enc0_ff\.fc2$", "transformer.layers.0.1.fn.fn.net.3"),
+            (r"^dec(\d)_attn\.to_out$", r"transformer_decoder.layers.\1.0.fn.fn.to_out.0"),
+            (r"^dec(\d)_attn\.(\w+)$", r"transformer_decoder.layers.\1.0.fn.fn.\2"),
+            (r"^dec(\d)_norm1$", r"transformer_decoder.layers.\1.0.fn.norm"),
+            (r"^dec(\d)_norm2$", r"transformer_decoder.layers.\1.1.fn.norm"),
+            (r"^dec(\d)_ff\.fc1$", r"transformer_decoder.layers.\1.1.fn.fn.net.0"),
+            (r"^dec(\d)_ff\.fc2$", r"transformer_decoder.layers.\1.1.fn.fn.net.3"),
+            (r"^classifier_conv1$", "classifier.0"),
+            (r"^classifier_bn$", "classifier.1"),
+            (r"^classifier_conv2$", "classifier.3"),
+        ),
+        allow_unconsumed=(r"^resnet\.layer4\.", r"^resnet\.fc\."),
+    )
+
+
+def test_pa_former_output_parity():
+    ref = load_reference_module(f"{REF_DIR}/PA_Former.py", "ref_paf_op")
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.PA_Former(n_class=2, backbone="resnet18", output_stride=16)
+    run_parity(
+        "pa_former", m,
+        renames=RESNET_RENAMES + (
+            (r"\.PI\.down0_conv$", ".PI.down.0"),
+            (r"\.PI\.down0_bn$", ".PI.down.1"),
+            (r"\.PI\.down1_conv$", ".PI.down.3"),
+            (r"\.PI\.down1_bn$", ".PI.down.4"),
+            (r"\.PI\.down2_conv$", ".PI.down.6"),
+            (r"\.PI\.down2_bn$", ".PI.down.7"),
+            (r"\.(last_conv\d?)$", r".\1.0"),
+            (r"^decoder_conv$", "decoder.conv1"),
+            (r"^token_encoder\.attn\.to_qkv$", "token_encoder.transformer.layers.0.0.fn.to_qkv"),
+            (r"^token_encoder\.attn\.to_out$", "token_encoder.transformer.layers.0.0.fn.to_out.0"),
+            (r"^token_encoder\.norm1$", "token_encoder.transformer.layers.0.0.norm"),
+            (r"^token_encoder\.norm2$", "token_encoder.transformer.layers.0.1.norm"),
+            (r"^token_encoder\.ff\.fc1$", "token_encoder.transformer.layers.0.1.fn.net.0"),
+            (r"^token_encoder\.ff\.fc2$", "token_encoder.transformer.layers.0.1.fn.net.3"),
+            (r"^token_decoder\.attn\.to_out$",
+             "token_decoder.transformer_decoder.layers.0.0.fn.fn.to_out.0"),
+            (r"^token_decoder\.attn\.(to_\w)$",
+             r"token_decoder.transformer_decoder.layers.0.0.fn.fn.\1"),
+            (r"^token_decoder\.norm1$", "token_decoder.transformer_decoder.layers.0.0.fn.norm"),
+            (r"^token_decoder\.norm2$", "token_decoder.transformer_decoder.layers.0.1.fn.norm"),
+            (r"^token_decoder\.ff\.fc1$", "token_decoder.transformer_decoder.layers.0.1.fn.fn.net.0"),
+            (r"^token_decoder\.ff\.fc2$", "token_decoder.transformer_decoder.layers.0.1.fn.fn.net.3"),
+        ),
+    )
+
+
 def test_snunet_output_parity():
     ref = load_reference_module(f"{REF_DIR}/SNUNet.py", "ref_snunet_op")
     torch.manual_seed(0)
