@@ -257,6 +257,90 @@ def test_pa_former_output_parity():
     )
 
 
+def test_elgcnet_output_parity():
+    ref = load_reference_module(f"{REF_DIR}/ELGCNet.py", "ref_elgc_op")
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.ELGCNet(dec_embed_dim=256)
+    run_parity(
+        "elgcnet", m,
+        renames=(
+            (r"^block(\d)_(\d)", r"enc.block\1.\2"),
+            (r"\.mlp_(fc1|fc2|pos)$", r".mlp.\1"),
+            (r"^(patch_embed\d)$", r"enc.\1.proj"),
+            (r"^(linear_c\d|diff_c\d)$", r"dec.\1.proj"),
+            (r"^linear_fuse$", "dec.linear_fuse.0"),
+            (r"^linear_fuse_bn$", "dec.linear_fuse.1"),
+            (r"^(convd\dx|change_probability)$", r"dec.\1.conv2d"),
+            (r"^(dense_\dx)\.(conv\d)$", r"dec.\1.0.\2.conv2d"),
+        ),
+        transpose_conv=(r"^convd\dx$",),
+    )
+
+
+def test_changeformer_output_parity():
+    ref = load_reference_module(f"{REF_DIR}/ChangeFormerV6.py", "ref_cf_op")
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.ChangeFormerV6(embed_dim=256)
+    run_parity(
+        "changeformer", m,
+        renames=(
+            (r"^block(\d)_(\d)", r"Tenc_x2.block\1.\2"),
+            (r"\.mlp\.dwconv$", ".mlp.dwconv.dwconv"),
+            (r"^(norm[1-4])$", r"Tenc_x2.\1"),
+            (r"^(patch_embed\d)_(proj|norm)$", r"Tenc_x2.\1.\2"),
+            (r"^(diff_c\d)_conv1$", r"TDec_x2.\1.0"),
+            (r"^(diff_c\d)_bn$", r"TDec_x2.\1.2"),
+            (r"^(diff_c\d)_conv2$", r"TDec_x2.\1.3"),
+            (r"^(linear_c\d)$", r"TDec_x2.\1.proj"),
+            (r"^linear_fuse$", "TDec_x2.linear_fuse.0"),
+            (r"^linear_fuse_bn$", "TDec_x2.linear_fuse.1"),
+            (r"^(convd\dx|change_probability)$", r"TDec_x2.\1.conv2d"),
+            (r"^(dense_\dx)\.(conv\d)$", r"TDec_x2.\1.0.\2.conv2d"),
+        ),
+        transpose_conv=(r"^convd\dx$",),
+        allow_unconsumed=(r"^TDec_x2\.make_pred_c[1-4]\.",),
+    )
+
+
+def test_afcf3d_output_parity():
+    import test_convert_parity as tcp
+
+    ref = load_reference_module(f"{REF_DIR}/AFCF3D_NET.py", "ref_afcf_op")
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.AFCF3D_NET(32, tcp.build_resnet18())
+    run_parity(
+        "afcf3d", m,
+        renames=RESNET_RENAMES + (
+            (r"\.spatial$", ".conv3d_spatial"),
+            (r"\.time_(\d)$", r".conv3d_time_\1"),
+            (r"^AFCF(\d)_cat(\d)\.conv$", r"decoder.AFCF_fuse.AFCF\1.conv_cat.\2.conv_bn.0"),
+            (r"^AFCF(\d)_cat(\d)\.bn$", r"decoder.AFCF_fuse.AFCF\1.conv_cat.\2.conv_bn.1"),
+            (r"^AFCF(\d)_(conv_up|conv_down)\.conv$", r"decoder.AFCF_fuse.AFCF\1.\2.conv_bn.0"),
+            (r"^AFCF(\d)_(conv_up|conv_down)\.bn$", r"decoder.AFCF_fuse.AFCF\1.\2.conv_bn.1"),
+            (r"^AFCF(\d)_se\.", r"decoder.AFCF_fuse.AFCF\1.SE."),
+            (r"^SE_(\d)_cat(\d)\.conv$", r"decoder.output.conv_cat_\1.\2.conv_bn.0"),
+            (r"^SE_(\d)_cat(\d)\.bn$", r"decoder.output.conv_cat_\1.\2.conv_bn.1"),
+            (r"^SE_(\d)_se\.", r"decoder.output.SE_\1."),
+            (r"^dec_(conv_downsample|conv_upsample)\.conv$", r"decoder.output.\1.conv_bn.0"),
+            (r"^dec_(conv_downsample|conv_upsample)\.bn$", r"decoder.output.\1.conv_bn.1"),
+            (r"^(downT\d|downfinal)_(\d)\.conv$", r"decoder.output.\1.\2.conv_bn.0"),
+            (r"^(downT\d|downfinal)_(\d)\.bn$", r"decoder.output.\1.\2.conv_bn.1"),
+            (r"^out_conv1$", "decoder.output.out.0.conv_bn.0"),
+            (r"^out_bn1$", "decoder.output.out.0.conv_bn.1"),
+            (r"^out_conv2$", "decoder.output.out.1.conv_bn.0"),
+            (r"^out_bn2$", "decoder.output.out.1.conv_bn.1"),
+            (r"^out_conv3$", "decoder.output.out.2"),
+            (r"^reduction(\d)\.r(\d)\.conv$", r"decoder.reduction\1.reduce.\2.conv_bn.0"),
+            (r"^reduction(\d)\.r(\d)\.bn$", r"decoder.reduction\1.reduce.\2.conv_bn.1"),
+        ),
+        allow_unconsumed=(r"^decoder\.output\.superD[1-4]\.", r"^decoder\.output\.superout[1-4]\.",
+                          r"^decoder\.AFCF_fuse\.AFCF1\.conv_down\.", r"^decoder\.output\.downT0\."),
+    )
+
+
 def test_snunet_output_parity():
     ref = load_reference_module(f"{REF_DIR}/SNUNet.py", "ref_snunet_op")
     torch.manual_seed(0)
