@@ -47,28 +47,24 @@ def cross_merge(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _diag_perm(H: int, W: int) -> np.ndarray:
-    """Permutation taking row-major indices to diagonal-traversal order
-    (anti-diagonals d = i+j, scanned d ascending, i ascending within)."""
-    idx = []
-    for d in range(H + W - 1):
-        i_lo = max(0, d - W + 1)
-        i_hi = min(H - 1, d)
-        for i in range(i_lo, i_hi + 1):
-            idx.append(i * W + (d - i))
-    return np.asarray(idx, dtype=np.int32)
+    """Row-major -> the reference's *wrapped* diagonal traversal
+    (compare/rs_mamba.py:252-261 diagonal_gather): gather x[i, (i+s) % W]
+    along each row, then transpose, i.e. for each shift s (outer, 0..W-1)
+    walk i (inner, 0..H-1) picking column (i+s) mod W. Every "diagonal" has
+    exactly H elements and wraps around the right edge — NOT the textbook
+    variable-length anti-diagonal order."""
+    s = np.arange(W, dtype=np.int32)[:, None]      # shift (outer)
+    i = np.arange(H, dtype=np.int32)[None, :]      # row (inner)
+    return (i * W + (i + s) % W).reshape(-1)
 
 
 @functools.lru_cache(maxsize=None)
 def _antidiag_perm(H: int, W: int) -> np.ndarray:
-    """Diagonal traversal of the horizontally flipped image (d = i + (W-1-j))."""
-    idx = []
-    for d in range(H + W - 1):
-        i_lo = max(0, d - W + 1)
-        i_hi = min(H - 1, d)
-        for i in range(i_lo, i_hi + 1):
-            j = W - 1 - (d - i)
-            idx.append(i * W + j)
-    return np.asarray(idx, dtype=np.int32)
+    """Reference antidiagonal_gather (compare/rs_mamba.py:241-250): column
+    (s - i) mod W, same wrapped, shift-outer/row-inner ordering."""
+    s = np.arange(W, dtype=np.int32)[:, None]
+    i = np.arange(H, dtype=np.int32)[None, :]
+    return (i * W + (s - i) % W).reshape(-1)
 
 
 @functools.lru_cache(maxsize=None)

@@ -211,3 +211,86 @@ def install_torchvision_stub():
     tv.models = models
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
+
+
+def make_naive_selective_scan():
+    """A pure-torch autograd.Function with the CUDA selective_scan interface
+    (compare/vmamba.py:253-321): inject as SelectiveScanMamba/Core/Oflex so
+    the reference SS2D stack runs on CPU as a parity oracle."""
+
+    class NaiveSelectiveScan(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, u, delta, A, B, C, D=None, delta_bias=None,
+                    delta_softplus=False, *args):
+            # u, delta: (b, KD, L); A: (KD, N); B, C: (b, K, N, L); D: (KD,)
+            u = u.float()
+            delta = delta.float()
+            b, kd, L = u.shape
+            _, K, N, _ = B.shape
+            rep = kd // K
+            if delta_bias is not None:
+                delta = delta + delta_bias.float().view(1, -1, 1)
+            if delta_softplus:
+                delta = torch.nn.functional.softplus(delta)
+            Bp = B.float().repeat_interleave(rep, dim=1)  # (b, KD, N, L)
+            Cp = C.float().repeat_interleave(rep, dim=1)
+            dA = torch.exp(delta.unsqueeze(2) * A.float().view(1, kd, N, 1))
+            dBu = delta.unsqueeze(2) * Bp * u.unsqueeze(2)
+            h = u.new_zeros(b, kd, N)
+            ys = []
+            for t in range(L):
+                h = h * dA[..., t] + dBu[..., t]
+                ys.append((h * Cp[..., t]).sum(-1))
+            y = torch.stack(ys, dim=-1)  # (b, KD, L)
+            if D is not None:
+                y = y + D.float().view(1, -1, 1) * u
+            return y
+
+    return NaiveSelectiveScan
+
+
+def disable_cuda_calls():
+    """Neutralise hard-coded .cuda() calls (e.g. ChangeDecoder.py:204,211)."""
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+
+def make_naive_mamba_inner_fn_no_out_proj():
+    """Pure-torch stand-in for mamba_ssm's fused mamba_inner_fn_no_out_proj
+    (used by cd_mamba.py:600-640): causal dwconv + silu, x_proj split,
+    low-rank dt, selective scan with z-gating; returns (b, d, l)."""
+    import torch.nn.functional as F
+
+    def fn(xz, conv1d_weight, conv1d_bias, x_proj_weight, delta_proj_weight,
+           A, B=None, C=None, D=None, delta_bias=None, B_proj_bias=None,
+           C_proj_bias=None, delta_softplus=True):
+        bsz, _, L = xz.shape
+        d = xz.shape[1] // 2
+        x, z = xz.chunk(2, dim=1)
+        x = F.conv1d(x, conv1d_weight, conv1d_bias,
+                     padding=conv1d_weight.shape[-1] - 1, groups=d)[..., :L]
+        x = F.silu(x)
+        x_dbl = F.linear(x.transpose(1, 2).reshape(bsz * L, d), x_proj_weight)
+        R = delta_proj_weight.shape[1]
+        n = A.shape[-1]
+        delta = (delta_proj_weight @ x_dbl[:, :R].t()).reshape(d, bsz, L).permute(1, 0, 2)
+        Bv = x_dbl[:, R:R + n].reshape(bsz, L, n).permute(0, 2, 1)
+        Cv = x_dbl[:, R + n:].reshape(bsz, L, n).permute(0, 2, 1)
+        if delta_bias is not None:
+            delta = delta + delta_bias.view(1, -1, 1)
+        if delta_softplus:
+            delta = F.softplus(delta)
+        delta = delta.float()
+        dA = torch.exp(delta.unsqueeze(2) * A.view(1, d, n, 1))
+        dBu = delta.unsqueeze(2) * Bv.float().unsqueeze(1) * x.float().unsqueeze(2)
+        h = x.new_zeros(bsz, d, n, dtype=torch.float32)
+        ys = []
+        for t in range(L):
+            h = h * dA[..., t] + dBu[..., t]
+            ys.append((h * Cv[..., t].float().unsqueeze(1)).sum(-1))
+        y = torch.stack(ys, dim=-1)
+        if D is not None:
+            y = y + D.view(1, -1, 1) * x.float()
+        return y * F.silu(z.float())
+
+    return fn

@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -96,3 +97,32 @@ def test_cross_scan8_and_merge():
     np.testing.assert_array_equal(s8[0, 4, 0], x[0, 0, 0])
     merged = np.asarray(cross_merge8(s8, H, W))
     np.testing.assert_allclose(merged, 8 * x.reshape(1, H * W, C), rtol=1e-5)
+
+
+def test_cross_scan8_matches_reference_torch():
+    """Pin the 8-direction traversal order to the reference's torch
+    CrossScan/CrossMerge (compare/rs_mamba.py:241-383), incl. the *wrapped*
+    modular diagonal gather order."""
+    import sys
+    import torch
+
+    sys.path.insert(0, "tests")
+    from ref_stubs import install_csm_triton_stub, install_fvcore_stub, load_reference_module
+
+    install_fvcore_stub()
+    install_csm_triton_stub()
+    ref = load_reference_module("/root/reference/compare/rs_mamba.py", "ref_rsm_cs")
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 5, 7, 3
+    x = rng.normal(size=(B, C, H, W)).astype(np.float32)
+
+    ref_xs = ref.CrossScan.apply(torch.from_numpy(x)).numpy()  # (B, 8, C, L)
+    ours = np.asarray(cross_scan8(jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(np.transpose(ours, (0, 1, 3, 2)), ref_xs, rtol=0, atol=0)
+
+    ys = rng.normal(size=(B, 8, C, H, W)).astype(np.float32)
+    ref_merged = ref.CrossMerge.apply(torch.from_numpy(ys)).numpy()  # (B, C, L)
+    ours_m = np.asarray(cross_merge8(
+        jnp.asarray(np.transpose(ys.reshape(B, 8, C, H * W), (0, 1, 3, 2))), H, W))
+    np.testing.assert_allclose(np.transpose(ours_m, (0, 2, 1)), ref_merged, rtol=1e-6, atol=1e-6)

@@ -5,6 +5,7 @@ outputs. Complements test_param_parity.py (structure) with numerics.
 """
 
 import numpy as np
+import pytest
 import torch
 
 from ref_stubs import construct_quiet, load_reference_module
@@ -338,6 +339,197 @@ def test_afcf3d_output_parity():
         ),
         allow_unconsumed=(r"^decoder\.output\.superD[1-4]\.", r"^decoder\.output\.superout[1-4]\.",
                           r"^decoder\.AFCF_fuse\.AFCF1\.conv_down\.", r"^decoder\.output\.downT0\."),
+    )
+
+
+def _load_change_mamba():
+    import importlib
+    import sys
+
+    from ref_stubs import (disable_cuda_calls, install_csm_triton_stub,
+                           install_fvcore_stub, install_timm_stub,
+                           make_naive_selective_scan)
+
+    install_timm_stub()
+    install_fvcore_stub()
+    install_csm_triton_stub()
+    disable_cuda_calls()
+    sys.path.insert(0, "/root/reference")
+    try:
+        vm = importlib.import_module("compare.vmamba")
+        naive = make_naive_selective_scan()
+        vm.SelectiveScanCore = naive
+        vm.SelectiveScanMamba = naive
+        vm.SelectiveScanOflex = naive
+        cm = importlib.import_module("compare.change_mamba")
+    finally:
+        sys.path.remove("/root/reference")
+    return cm
+
+
+@pytest.mark.slow
+def test_change_mamba_output_parity():
+    cm = _load_change_mamba()
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = cm.Changemamba(
+            device=torch.device("cpu"), pretrained=None, patch_size=4, in_chans=3,
+            num_classes=1000, depths=[2, 2, 9, 2], dims=96, ssm_d_state=16,
+            ssm_ratio=2.0, ssm_rank_ratio=2.0, ssm_dt_rank="auto", ssm_act_layer="silu",
+            ssm_conv=3, ssm_conv_bias=True, ssm_drop_rate=0.0, ssm_init="v0",
+            forward_type="v2", mlp_ratio=4.0, mlp_act_layer="gelu", mlp_drop_rate=0.0,
+            drop_path_rate=0.1, patch_norm=True, norm_layer="ln",
+            downsample_version="v2", patchembed_version="v2", gmlp=False,
+            use_checkpoint=False,
+        )
+    run_parity(
+        "change_mamba", m,
+        renames=(
+            (r"^encoder\.layer(\d)_block(\d+)", r"encoder.layers.\1.blocks.\2"),
+            (r"^encoder\.downsample(\d)_conv$", r"encoder.layers.\1.downsample.1"),
+            (r"^encoder\.downsample(\d)_norm$", r"encoder.layers.\1.downsample.3"),
+            (r"^encoder\.patch_embed_conv1$", "encoder.patch_embed.0"),
+            (r"^encoder\.patch_embed_norm1$", "encoder.patch_embed.2"),
+            (r"^encoder\.patch_embed_conv2$", "encoder.patch_embed.5"),
+            (r"^encoder\.patch_embed_norm2$", "encoder.patch_embed.7"),
+            (r"^st_block_(\d+)\.proj$", r"decoder.st_block_\1.0"),
+            (r"^st_block_(\d+)\.vss\.", r"decoder.st_block_\1.2."),
+            (r"^fuse_layer_(\d)$", r"decoder.fuse_layer_\1.0"),
+            (r"^fuse_bn_(\d)$", r"decoder.fuse_layer_\1.1"),
+            (r"^smooth_layer_(\d)\.", r"decoder.smooth_layer_\1."),
+        ),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+@pytest.mark.slow
+def test_rs_mamba_output_parity():
+    from ref_stubs import (install_csm_triton_stub, install_fvcore_stub,
+                           make_naive_selective_scan)
+
+    install_fvcore_stub()
+    install_csm_triton_stub()
+    ref = load_reference_module(f"{REF_DIR}/rs_mamba.py", "ref_rsm_op")
+    naive = make_naive_selective_scan()
+    ref.SelectiveScanMamba = naive
+    ref.SelectiveScanCore = naive
+    ref.SelectiveScanOflex = naive
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.RSM_CD(drop_path_rate=0.2, dims=96, depths=[2, 2, 9, 2], ssm_d_state=16,
+                       ssm_dt_rank="auto", ssm_ratio=2.0, mlp_ratio=4.0,
+                       downsample_version="v3", patchembed_version="v2")
+    run_parity(
+        "rs_mamba", m,
+        renames=(
+            (r"^enc(\d)_block(\d+)\.",
+             lambda mo: f"encoder_block{int(mo.group(1)) + 1}.blocks.{mo.group(2)}."),
+            (r"^down(\d)_conv$", lambda mo: f"encoder_block{int(mo.group(1)) + 1}.downsample.1"),
+            (r"^down(\d)_norm$", lambda mo: f"encoder_block{int(mo.group(1)) + 1}.downsample.3"),
+            (r"^patch_embed_conv1$", "patch_embed.0"),
+            (r"^patch_embed_norm1$", "patch_embed.2"),
+            (r"^patch_embed_conv2$", "patch_embed.5"),
+            (r"^patch_embed_norm2$", "patch_embed.7"),
+            (r"^fuse_block(\d)$", r"fuse_block\1.fuse.0"),
+            (r"^fuse_bn(\d)$", r"fuse_block\1.fuse.1"),
+            (r"^decoder_block(\d)$", r"deocder_block\1.fuse.0"),
+            (r"^decoder_bn(\d)$", r"deocder_block\1.fuse.1"),
+            (r"^up_conv1$", "upsample_x4.0"),
+            (r"^up_bn1$", "upsample_x4.1"),
+            (r"^up_conv2$", "upsample_x4.4"),
+            (r"^up_bn2$", "upsample_x4.5"),
+        ),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+CDM_STRUCT = (
+    (r"^enc0_block0\.", "srcm_encoder_layers.0.1."),
+    (r"^enc(\d)_down\.", r"srcm_encoder_layers.\1.0.0."),
+    (r"^enc(\d)_block(\d)\.",
+     lambda mo: f"srcm_encoder_layers.{mo.group(1)}.{int(mo.group(2)) + 1}."),
+    (r"^dec(\d)_block0\.", r"srcm_decoder_layers.\1.0."),
+    (r"^up(\d)_conv$", r"up_samples.\1.0"),
+    (r"^final_norm$", "conv_final.0"),
+    (r"^conv_final$", "conv_final.2"),
+    (r"\.local_relation\.conv1$", ".local_relation.0"),
+    (r"\.local_relation\.conv2$", ".local_relation.2"),
+    (r"\.local_relation\.dw1$", ".local_relation.0.depthwise_conv"),
+    (r"\.local_relation\.pw1$", ".local_relation.0.pointwise_conv"),
+    (r"\.local_relation\.dw2$", ".local_relation.2.depthwise_conv"),
+    (r"\.local_relation\.pw2$", ".local_relation.2.pointwise_conv"),
+    # the reference misspells the L_GF fusionencoder's local_relation
+    (r"^(l_gf\d\.fusionencoder)\.local_relation\.", r"\1.lcoal_relation."),
+)
+
+
+def _cdm_hook(dotted, leaf, shape, sd):
+    import re
+
+    from smow_net_tpu.train.convert import t2j_conv, t2j_linear
+    from smow_net_tpu.train.convert_zoo import _apply_renames
+
+    full = f"{dotted}.{leaf}" if dotted else leaf
+    m = re.match(r"^ag(\d)_kernel$", full)
+    if m:
+        key = f"ag{m.group(1)}.gate.weight"
+        return t2j_linear(sd[key]), key
+    m = re.match(r"^(.*)\.(fwd|bwd|g)\.(\w+)$", full)
+    if not m:
+        return None
+    base = _apply_renames(m.group(1), CDM_STRUCT)
+    sfx = {"fwd": "", "bwd": "_b", "g": "_g"}[m.group(2)]
+    name = m.group(3)
+    if name == "A_log":
+        key = f"{base}.A{sfx}_log" if sfx else f"{base}.A_log"
+        return sd[key], key
+    if name == "D":
+        key = f"{base}.D{sfx}"
+        return sd[key], key
+    if name == "conv1d_kernel":
+        key = f"{base}.conv1d{sfx}.weight"
+        return t2j_conv(sd[key]), key
+    if name == "conv1d_bias":
+        key = f"{base}.conv1d{sfx}.bias"
+        return sd[key], key
+    if name == "dt_proj_kernel":
+        key = f"{base}.dt_proj{sfx}.weight"
+        return t2j_linear(sd[key]), key
+    if name == "dt_proj_bias":
+        key = f"{base}.dt_proj{sfx}.bias"
+        return sd[key], key
+    if name == "x_proj_kernel":
+        key = f"{base}.x_proj{sfx}.weight"
+        return t2j_linear(sd[key]), key
+    return None
+
+
+@pytest.mark.slow
+def test_cd_mamba_output_parity():
+    from ref_stubs import (disable_cuda_calls, install_causal_conv1d_stub,
+                           install_monai_stub, make_naive_mamba_inner_fn_no_out_proj)
+
+    install_monai_stub()
+    install_causal_conv1d_stub()
+    disable_cuda_calls()
+    ref = load_reference_module(f"{REF_DIR}/cd_mamba.py", "ref_cdm_op")
+    ref.mamba_inner_fn_no_out_proj = make_naive_mamba_inner_fn_no_out_proj()
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.CDMamba(spatial_dims=2, in_channels=3, init_filters=16, out_channels=2,
+                        mode="AGLGF", conv_mode="orignal_dinner", up_mode="SRCM",
+                        up_conv_mode="deepwise", norm=["GROUP", {"num_groups": 8}],
+                        blocks_down=[1, 2, 2, 4], blocks_up=[1, 1, 1], resdiual=False,
+                        diff_abs="later", stage=2, mamba_act="relu",
+                        local_query_model="orignal_dinner")
+    run_parity(
+        "cd_mamba", m,
+        renames=CDM_STRUCT,
+        hook=_cdm_hook,
+        allow_unconsumed=(r"^ag\.", r"^ag[34]\.", r"^(l_gf|g_gf)[34]\.",
+                          r"^(l_gf|g_gf)\.\d+\.",  # ModuleList aliases of l_gfN/g_gfN
+                          r"^(l_gf|g_gf)[12]\.skip_scale$"),
+        rtol=2e-3, atol=2e-3,
     )
 
 
