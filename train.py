@@ -46,6 +46,11 @@ def parse_option():
     p.add_argument("--seed", type=int, default=2022)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--resume", type=str, default="")
+    p.add_argument("--pretrained", type=str, default="",
+                   help="pretrained backbone state_dict (.pth/.npz): ImageNet "
+                        "resnet18 for smow_net/afcf3d/bit/tfi_gr/seifnet, "
+                        "mobilenet_v2 for smow_net_lw/a2net, vgg16 for ifn "
+                        "(mirrors reference train.py:84-85)")
     p.add_argument("--bf16", action="store_true", help="mixed-precision training: bf16 forward/backward, fp32 master params")
     return p.parse_args()
 
@@ -89,6 +94,15 @@ def main(opt):
         "mask": jnp.zeros((1, s, s), jnp.float32),
     }
     state = create_train_state(model, jax.random.PRNGKey(opt.seed), sample, tx)
+    if opt.pretrained:
+        from smow_net_tpu.train.pretrained import load_pretrained_backbone
+
+        variables = load_pretrained_backbone(
+            opt.model, opt.pretrained,
+            {"params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        print(f"loaded pretrained backbone from {opt.pretrained}")
     state = jax.device_put(state, replicated_sharding(mesh))
 
     start_epoch = 1
