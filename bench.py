@@ -1,10 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark harness: flagship SMOWNet inference throughput on one chip.
+"""Benchmark harness: flagship SMOWNet throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu"}.
+
+Modes (BENCH_MODE):
+  infer  (default) — jitted forward loop
+  train            — jitted fwd+bwd+AdamW loop (mixed-precision when
+                     BENCH_DTYPE=bf16, fp32 master params, same as
+                     train.py --bf16)
+
+Methodology (CLAUDE.md): ITERS steps inside ONE executable via lax.fori_loop/
+scan with a sequential data dependency and full-output consumption — host-
+dispatch timing is unreliable over this TPU tunnel. MFU is XLA-counted FLOPs
+of the whole compiled loop / wall time / v5e bf16 peak (197 TFLOP/s).
+
 The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
-is reported relative to the driver-recorded north-star definition (ratio to
-the best previously recorded run if BENCH_BASELINE.json exists, else 1.0).
+is the ratio to the best previously recorded run (BENCH_BASELINE.json /
+BENCH_BASELINE_train.json) if present, else 1.0.
 """
 
 from __future__ import annotations
@@ -21,12 +33,22 @@ SIZE = int(os.environ.get("BENCH_SIZE", "256"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 MODEL = os.environ.get("BENCH_MODEL", "smow_net")
 DTYPE = os.environ.get("BENCH_DTYPE", "bf16")  # bf16 | f32
+MODE = os.environ.get("BENCH_MODE", "infer")   # infer | train
+
+V5E_BF16_PEAK = 197e12
 
 
-def main():
-    from smow_net_tpu.models import get_model
+def _flops(compiled) -> float:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
 
-    model = get_model(MODEL)
+
+def bench_infer(model):
     rng = jax.random.PRNGKey(0)
     x1 = jax.random.normal(rng, (BATCH, SIZE, SIZE, 3), jnp.float32)
     x2 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3), jnp.float32)
@@ -41,13 +63,7 @@ def main():
         x1 = x1.astype(jnp.bfloat16)
         x2 = x2.astype(jnp.bfloat16)
 
-    @jax.jit
     def fwd_loop(a, b):
-        # ITERS forwards inside ONE executable: measures pure device
-        # throughput, excluding host->device dispatch latency (this
-        # environment's TPU tunnel adds ~20ms RTT per dispatch otherwise).
-        # Each iteration's input depends on the previous output so XLA
-        # cannot hoist the (loop-invariant) forward out of the loop.
         def body(_, carry):
             out = model.apply(variables, a + carry.astype(a.dtype), b, train=False)
             # consume the FULL output (a slice would let XLA dead-code-
@@ -56,25 +72,98 @@ def main():
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
 
-    jax.block_until_ready(fwd_loop(x1, x2))  # compile + warm
+    compiled = jax.jit(fwd_loop).lower(x1, x2).compile()
+    jax.block_until_ready(compiled(x1, x2))  # warm
     t0 = time.perf_counter()
-    out = fwd_loop(x1, x2)
+    out = compiled(x1, x2)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    pairs_per_sec = BATCH * ITERS / dt
+    return dt, _flops(compiled)
 
+
+def bench_train(model):
+    import optax
+
+    from smow_net_tpu.train.loss import bce_dice_loss
+    from smow_net_tpu.train.trainer import select_pred
+
+    rng = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(rng, (BATCH, SIZE, SIZE, 3), jnp.float32)
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3), jnp.float32)
+    gt = (jax.random.uniform(jax.random.PRNGKey(2), (BATCH, SIZE, SIZE)) > 0.9).astype(
+        jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), x1[:1], x2[:1], train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.chain(optax.clip(0.5), optax.adamw(1e-4, weight_decay=1e-4))
+    opt_state = tx.init(params)
+    compute_dtype = jnp.bfloat16 if DTYPE == "bf16" else None
+    a = x1.astype(compute_dtype) if compute_dtype is not None else x1
+    b = x2.astype(compute_dtype) if compute_dtype is not None else x2
+
+    def train_loop(params, opt_state, batch_stats, a, b, gt):
+        def loss_fn(p, stats, a):
+            if compute_dtype is not None:
+                p = jax.tree_util.tree_map(lambda w: w.astype(compute_dtype), p)
+            out, mut = model.apply(
+                {"params": p, "batch_stats": stats}, a, b,
+                train=True, mutable=["batch_stats"])
+            pred = select_pred(out).astype(jnp.float32)
+            return bce_dice_loss(pred, gt), mut["batch_stats"]
+
+        def step(carry, _):
+            params, opt_state, stats, a = carry
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, stats, a)
+            if compute_dtype is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(jnp.float32), grads)
+                stats = jax.tree_util.tree_map(
+                    lambda s: s.astype(jnp.float32), stats)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # sequential data dependency on the input as well
+            a = a + loss.astype(a.dtype) * 1e-9
+            return (params, opt_state, stats, a), loss
+
+        (params, opt_state, stats, a), losses = jax.lax.scan(
+            step, (params, opt_state, batch_stats, a), None, length=ITERS)
+        return losses, jnp.sum(losses)
+
+    compiled = jax.jit(train_loop).lower(
+        params, opt_state, batch_stats, a, b, gt).compile()
+    jax.block_until_ready(compiled(params, opt_state, batch_stats, a, b, gt))
+    t0 = time.perf_counter()
+    out = compiled(params, opt_state, batch_stats, a, b, gt)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return dt, _flops(compiled)
+
+
+def main():
+    from smow_net_tpu.models import get_model
+
+    model = get_model(MODEL)
+    dt, flops = (bench_train if MODE == "train" else bench_infer)(model)
+    pairs_per_sec = BATCH * ITERS / dt
+    mfu = flops / dt / V5E_BF16_PEAK if flops == flops else None
+
+    baseline_file = ("BENCH_BASELINE_train.json" if MODE == "train"
+                     else "BENCH_BASELINE.json")
     baseline = None
-    if os.path.exists("BENCH_BASELINE.json"):
+    if os.path.exists(baseline_file):
         try:
-            baseline = json.load(open("BENCH_BASELINE.json")).get("value")
+            baseline = json.load(open(baseline_file)).get("value")
         except Exception:
             baseline = None
     vs = pairs_per_sec / baseline if baseline else 1.0
+    suffix = "train" if MODE == "train" else "infer"
     print(json.dumps({
-        "metric": f"{MODEL}_infer_pairs_per_sec_{SIZE}",
+        "metric": f"{MODEL}_{suffix}_pairs_per_sec_{SIZE}",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(vs, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
     }))
 
 

@@ -25,7 +25,7 @@ from ...nn.layers import Conv, Dense
 from ...ops.convops import causal_conv1d
 from ...ops.pooling import max_pool
 from ...ops.resize import resize_nearest
-from ...ops.scan import selective_scan
+from ...ops.scan import selective_scan_auto
 from ...utils import torch_init
 
 __all__ = ["CDMamba"]
@@ -74,7 +74,7 @@ class Mamba1DCore(nn.Module):
         delta = jnp.matmul(dt, dtw)
         A = -jnp.exp(self.param("A_log", _a_log_init, (Di, N)).astype(jnp.float32))
         D = self.param("D", torch_init.ones, (Di,))
-        return selective_scan(x, delta, A, Bm[:, :, None], Cm[:, :, None], D, dt_bias,
+        return selective_scan_auto(x, delta, A, Bm[:, :, None], Cm[:, :, None], D, dt_bias,
                               delta_softplus=True)
 
 

@@ -7,9 +7,11 @@ batch row and a block of channels, keeps the (BD, N) hidden state in VMEM,
 and walks L in chunks with all elementwise work on the VPU — one HBM read
 per input element, one write per output element.
 
-Forward only; the op carries a custom VJP whose backward recomputes through
-the (differentiable) associative-scan reference implementation, so training
-numerics match ops/scan.py exactly. Use for inference-critical paths.
+The op carries an analytic custom VJP (see _bwd): the backward recomputes h
+with one streaming pass, runs the reverse-time adjoint recurrence as a second
+pass of the same kernel, and leaves the remaining gradient algebra to fused
+XLA elementwise/einsum ops — training gets the same single-pass win as
+inference (reference backward: compare/vmamba.py:253-321).
 
 Layout: dA, dBu are precomputed outside as (B, L, D, N) *slices per channel
 block* to keep the kernel simple and fusable; the heavy win is the single-
@@ -25,8 +27,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from ..scan import selective_scan as _reference_scan
 
 __all__ = ["selective_scan_pallas"]
 
@@ -130,14 +130,72 @@ def _fwd(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus):
     return y, (u, delta, A, Bmat, Cmat, D, delta_bias)
 
 
-def _bwd(delta_softplus, res, g):
+def _bwd(delta_softplus, res, gy):
+    """Analytic backward with two more streaming-kernel passes (mirrors the
+    reference CUDA ext's fwd+bwd pair, compare/vmamba.py:253-321):
+
+      1. recompute h forward (memory-light: nothing (B,L,D,N)-sized is saved
+         from the forward pass);
+      2. reverse-time scan for the state adjoint
+         g_t = C_t*dy_t + a_{t+1} * g_{t+1}
+         (the same kernel run on the flipped, shifted-coefficient sequence);
+      3. all remaining gradients are fused elementwise/einsum contractions.
+    """
     u, delta, A, Bmat, Cmat, D, delta_bias = res
+    B, L, Dch = u.shape
+    _, _, G, N = Bmat.shape
+    Cg = Dch // G
 
-    def ref(u, delta, A, Bmat, Cmat, D, delta_bias):
-        return _reference_scan(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus)
+    uf = u.astype(jnp.float32)
+    dt_in = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        dt_in = dt_in + delta_bias.astype(jnp.float32)
+    dt = jax.nn.softplus(dt_in) if delta_softplus else dt_in
+    Af = A.astype(jnp.float32)
+    Bf = Bmat.astype(jnp.float32)
+    Cf = Cmat.astype(jnp.float32)
+    gyf = gy.astype(jnp.float32)
 
-    _, vjp = jax.vjp(ref, u, delta, A, Bmat, Cmat, D, delta_bias)
-    return vjp(g)
+    a = jnp.exp(dt[..., None] * Af)                              # (B, L, D, N)
+    dtu = (dt * uf).reshape(B, L, G, Cg)
+    b = dtu[..., None] * Bf[:, :, :, None, :]
+    b = b.reshape(B, L, Dch, N)
+
+    h = _scan_states(a, b)                                       # recompute
+
+    # reverse-time adjoint scan
+    c = gyf.reshape(B, L, G, Cg)[..., None] * Cf[:, :, :, None, :]
+    c = c.reshape(B, L, Dch, N)
+    a_next = jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+    g = jnp.flip(_scan_states(jnp.flip(a_next, 1), jnp.flip(c, 1)), 1)
+
+    h_prev = jnp.concatenate([jnp.zeros_like(h[:, :1]), h[:, :-1]], axis=1)
+    g4 = g.reshape(B, L, G, Cg, N)
+    h4 = h.reshape(B, L, G, Cg, N)
+
+    # y = C.h (+ D u) direct terms
+    dC = jnp.einsum("blgc,blgcn->blgn", gyf.reshape(B, L, G, Cg), h4)
+    dD = jnp.sum(gyf * uf, axis=(0, 1)) if D is not None else None
+    du = gyf * D.astype(jnp.float32) if D is not None else jnp.zeros_like(uf)
+
+    # b_t = dt*u*B  -> du, ddt, dB
+    gB = jnp.einsum("blgcn,blgn->blgc", g4, Bf).reshape(B, L, Dch)
+    du = du + gB * dt
+    ddt = gB * uf
+    dB = jnp.einsum("blgcn,blgc->blgn", g4, dtu)
+
+    # a_t = exp(dt*A) -> ddt, dA
+    gha = g * h_prev * a
+    ddt = ddt + jnp.einsum("bldn,dn->bld", gha, Af)
+    dA = jnp.einsum("bldn,bld->dn", gha, dt)
+
+    if delta_softplus:
+        ddt = ddt * jax.nn.sigmoid(dt_in)
+    ddelta_bias = (jnp.sum(ddt, axis=(0, 1)).astype(delta_bias.dtype)
+                   if delta_bias is not None else None)
+    return (du.astype(u.dtype), ddt.astype(delta.dtype), dA.astype(A.dtype),
+            dB.astype(Bmat.dtype), dC.astype(Cmat.dtype),
+            dD.astype(D.dtype) if D is not None else None, ddelta_bias)
 
 
 selective_scan_pallas.defvjp(_fwd, _bwd)
