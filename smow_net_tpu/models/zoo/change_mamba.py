@@ -41,32 +41,37 @@ class STBlock(nn.Module):
     """conv1x1 -> VSSBlock (one spatio-temporal path)."""
 
     drop_path: float = 0.1
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         y = Conv(128, 1, name="proj")(x)
-        return VSSBlock(128, self.drop_path, mlp_ratio=4.0, name="vss")(y, train)
+        return VSSBlock(128, self.drop_path, mlp_ratio=4.0, remat=self.remat,
+                        name="vss")(y, train)
 
 
 class ChangeMamba(nn.Module):
     depths: tuple = (2, 2, 9, 2)
     dims: tuple = (96, 192, 384, 768)
     drop_path_rate: float = 0.1
+    use_checkpoint: bool = False  # reference use_checkpoint flag
 
     @nn.compact
     def __call__(self, pre, post, train: bool = False):
         encoder = VSSM(self.depths, self.dims, drop_path_rate=self.drop_path_rate,
-                       patchembed_version="v2", downsample_version="v2", name="encoder")
+                       patchembed_version="v2", downsample_version="v2",
+                       use_checkpoint=self.use_checkpoint, name="encoder")
         f_pre = encoder(pre, train)
         f_post = encoder(post, train)
 
         def level(i, a, b):
             B, H, W, C = a.shape
-            p1 = STBlock(name=f"st_block_{i}1")(jnp.concatenate([a, b], -1), train)
+            p1 = STBlock(remat=self.use_checkpoint,
+                         name=f"st_block_{i}1")(jnp.concatenate([a, b], -1), train)
             inter = jnp.stack([a, b], axis=3).reshape(B, H, 2 * W, C)
-            p2 = STBlock(name=f"st_block_{i}2")(inter, train)
+            p2 = STBlock(remat=self.use_checkpoint, name=f"st_block_{i}2")(inter, train)
             side = jnp.concatenate([a, b], axis=2)
-            p3 = STBlock(name=f"st_block_{i}3")(side, train)
+            p3 = STBlock(remat=self.use_checkpoint, name=f"st_block_{i}3")(side, train)
             parts = [p1, p2[:, :, ::2], p2[:, :, 1::2], p3[:, :, :W], p3[:, :, W:]]
             y = Conv(128, 1, name=f"fuse_layer_{i}")(jnp.concatenate(parts, -1))
             y = batch_norm(f"fuse_bn_{i}")(y, use_running_average=not train)

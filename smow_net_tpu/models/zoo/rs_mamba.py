@@ -28,6 +28,7 @@ class RSMCD(nn.Module):
     ssm_d_state: int = 16
     ssm_ratio: float = 2.0
     mlp_ratio: float = 4.0
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
@@ -62,7 +63,8 @@ class RSMCD(nn.Module):
         for i, (dim, depth) in enumerate(zip(dims, self.depths)):
             stage_blocks.append([
                 VSSBlock(dim, float(dpr[cur + j]), self.ssm_d_state, self.ssm_ratio,
-                         mlp_ratio=self.mlp_ratio, k_group=8, name=f"enc{i}_block{j}")
+                         mlp_ratio=self.mlp_ratio, k_group=8,
+                         remat=self.use_checkpoint, name=f"enc{i}_block{j}")
                 for j in range(depth)
             ])
             cur += depth

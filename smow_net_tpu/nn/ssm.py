@@ -160,13 +160,17 @@ class VSSBlock(nn.Module):
     mlp_ratio: float = 4.0
     mlp_drop_rate: float = 0.0
     k_group: int = 4
+    remat: bool = False  # reference use_checkpoint (vmamba.py:1388-1392):
+    #                      rematerialize the SS2D in backward (trades FLOPs
+    #                      for the large (B,L,D,N) scan temporaries)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dp = DropPath(self.drop_path, name="drop_path")
+        ss2d = nn.remat(SS2D, static_argnums=(2,)) if self.remat else SS2D
         if self.ssm_ratio > 0:
             y = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-            y = SS2D(
+            y = ss2d(
                 self.hidden_dim, self.ssm_d_state, self.ssm_ratio, self.ssm_dt_rank,
                 self.ssm_conv, self.ssm_conv_bias, dropout=self.ssm_drop_rate,
                 k_group=self.k_group, name="op",
@@ -200,6 +204,7 @@ class VSSM(nn.Module):
     downsample_version: str = "v2"
     k_group: int = 4
     out_indices: tuple = (0, 1, 2, 3)
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -227,7 +232,8 @@ class VSSM(nn.Module):
                     dim, float(dpr[cur + j]), self.ssm_d_state, self.ssm_ratio,
                     self.ssm_dt_rank, self.ssm_conv, self.ssm_conv_bias,
                     self.ssm_drop_rate, self.mlp_ratio, self.mlp_drop_rate,
-                    k_group=self.k_group, name=f"layer{i}_block{j}",
+                    k_group=self.k_group, remat=self.use_checkpoint,
+                    name=f"layer{i}_block{j}",
                 )(x, train)
             cur += depth
             if i in self.out_indices:

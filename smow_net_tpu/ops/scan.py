@@ -37,12 +37,25 @@ def set_scan_impl(name: str):
     _IMPL = name
 
 
+def _pallas_profitable(u, A) -> bool:
+    """The streaming kernel packs (block_d, N) into the 128-lane axis
+    (ops/pallas/scan.py). If no channel block bd (<=8, dividing D) makes
+    bd*N a multiple of 128, lanes go underutilized and the kernel loses its
+    edge — fall back to the associative scan for those shapes."""
+    D, N = u.shape[-1], A.shape[-1]
+    bd = min(8, D)
+    while D % bd:
+        bd -= 1
+    return (bd * N) % 128 == 0
+
+
 def selective_scan_auto(*args, **kwargs):
     impl = _IMPL
     if impl == "auto":
         import jax as _jax
 
-        impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
+        impl = "pallas" if (_jax.default_backend() == "tpu"
+                            and _pallas_profitable(args[0], args[2])) else "xla"
     if impl == "pallas":
         from .pallas.scan import selective_scan_pallas
 

@@ -126,3 +126,22 @@ def test_cross_scan8_matches_reference_torch():
     ours_m = np.asarray(cross_merge8(
         jnp.asarray(np.transpose(ys.reshape(B, 8, C, H * W), (0, 1, 3, 2))), H, W))
     np.testing.assert_allclose(np.transpose(ours_m, (0, 2, 1)), ref_merged, rtol=1e-6, atol=1e-6)
+
+
+def test_vssblock_remat_equivalence():
+    """use_checkpoint (nn.remat) must not change outputs or grads."""
+    import jax
+
+    from smow_net_tpu.nn.ssm import VSSBlock
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 16)), jnp.float32)
+    plain = VSSBlock(16, 0.0, ssm_d_state=4, mlp_ratio=2.0)
+    remat = VSSBlock(16, 0.0, ssm_d_state=4, mlp_ratio=2.0, remat=True)
+    v = plain.init(jax.random.PRNGKey(0), x, False)
+
+    y1, g1 = jax.value_and_grad(lambda p: jnp.sum(plain.apply(p, x, False) ** 2))(v)
+    y2, g2 = jax.value_and_grad(lambda p: jnp.sum(remat.apply(p, x, False) ** 2))(v)
+    np.testing.assert_allclose(float(y1), float(y2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

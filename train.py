@@ -52,6 +52,10 @@ def parse_option():
                         "mobilenet_v2 for smow_net_lw/a2net, vgg16 for ifn "
                         "(mirrors reference train.py:84-85)")
     p.add_argument("--bf16", action="store_true", help="mixed-precision training: bf16 forward/backward, fp32 master params")
+    p.add_argument("--remat", action="store_true",
+                   help="activation rematerialization for the Mamba models "
+                        "(reference use_checkpoint, vmamba.py:1388-1392): "
+                        "recompute SS2D in backward to fit large batches")
     return p.parse_args()
 
 
@@ -78,7 +82,12 @@ def main(opt):
     iters_per_epoch = len(train_loader)
 
     mesh = make_mesh()
-    model = get_model(opt.model)
+    overrides = {}
+    if getattr(opt, "remat", False):
+        if opt.model not in ("change_mamba", "rs_mamba"):
+            raise SystemExit(f"--remat supports change_mamba/rs_mamba, not {opt.model}")
+        overrides["use_checkpoint"] = True
+    model = get_model(opt.model, **overrides)
     schedule = get_schedule(
         opt.lr_scheduler, opt.lr, opt.epochs, iters_per_epoch,
         warmup_epochs=opt.warmup_epoch, warmup_multiplier=opt.warmup_multiplier,
