@@ -14,9 +14,13 @@ import optax
 from smow_net_tpu.models import get_model
 from smow_net_tpu.ops.scan import set_scan_impl
 
-BS, SIZE, ITERS = 4, 128, 8
+import os as _os
+BS = int(_os.environ.get("MB_BS", "4"))
+SIZE = int(_os.environ.get("MB_SIZE", "128"))
+ITERS = int(_os.environ.get("MB_ITERS", "8"))
+REMAT = _os.environ.get("MB_REMAT", "0") == "1"
 
-model = get_model("change_mamba")
+model = get_model("change_mamba", use_checkpoint=REMAT)
 a = jnp.zeros((BS, SIZE, SIZE, 3), jnp.float32)
 b = jnp.zeros((BS, SIZE, SIZE, 3), jnp.float32)
 m = jnp.zeros((BS, SIZE, SIZE), jnp.float32)
@@ -42,7 +46,6 @@ def step(carry, _):
     return (p, o, a, b, m), loss
 
 
-@jax.jit
 def run(p, o, a, b, m):
     (p, o, a, b, m), losses = jax.lax.scan(step, (p, o, a, b, m), None, length=ITERS)
     return losses, jax.tree_util.tree_reduce(
@@ -51,7 +54,8 @@ def run(p, o, a, b, m):
 
 for impl in ("pallas", "xla"):
     set_scan_impl(impl)
-    run_c = jax.jit(run.__wrapped__)
+    # fresh function object per impl so the jit cache cannot alias the two
+    run_c = jax.jit(lambda p, o, a, b, m: run(p, o, a, b, m))
     t0 = time.time()
     losses, chk = run_c(params, opt_state, a, b, m)
     jax.block_until_ready((losses, chk))
