@@ -12,7 +12,8 @@ Modes (BENCH_MODE):
 Methodology (CLAUDE.md): ITERS steps inside ONE executable via lax.fori_loop/
 scan with a sequential data dependency and full-output consumption — host-
 dispatch timing is unreliable over this TPU tunnel. MFU is XLA-counted FLOPs
-of the whole compiled loop / wall time / v5e bf16 peak (197 TFLOP/s).
+per iteration x ITERS / wall time / v5e bf16 peak (197 TFLOP/s); XLA's
+cost_analysis counts a loop body once, so the xITERS factor is ours.
 
 The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
 is the ratio to the best previously recorded run (BENCH_BASELINE.json /
@@ -39,6 +40,13 @@ V5E_BF16_PEAK = 197e12
 
 
 def _flops(compiled) -> float:
+    """XLA-counted FLOPs of ONE loop iteration.
+
+    Verified on this image: `cost_analysis()` counts a lax.fori_loop/scan
+    body exactly once regardless of trip count (a single forward and a
+    20-iteration loop of it report identical flops), so the per-iteration
+    figure IS the whole-program analysis; callers multiply by ITERS.
+    """
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
@@ -73,11 +81,14 @@ def bench_infer(model):
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
 
     compiled = jax.jit(fwd_loop).lower(x1, x2).compile()
-    jax.block_until_ready(compiled(x1, x2))  # warm
+    float(compiled(x1, x2))  # warm; host transfer forces real completion
     t0 = time.perf_counter()
-    out = compiled(x1, x2)
-    jax.block_until_ready(out)
+    # time to a host-side float: block_until_ready alone has been observed
+    # to return early over the axon tunnel (a recorded train run "finished"
+    # in 1.6ms); a D2H scalar read cannot complete before the computation
+    out = float(compiled(x1, x2))
     dt = time.perf_counter() - t0
+    assert out == out, "nan from bench loop"
     return dt, _flops(compiled)
 
 
@@ -132,11 +143,13 @@ def bench_train(model):
 
     compiled = jax.jit(train_loop).lower(
         params, opt_state, batch_stats, a, b, gt).compile()
-    jax.block_until_ready(compiled(params, opt_state, batch_stats, a, b, gt))
+    out = compiled(params, opt_state, batch_stats, a, b, gt)
+    float(out[1])  # warm; host transfer forces real completion
     t0 = time.perf_counter()
     out = compiled(params, opt_state, batch_stats, a, b, gt)
-    jax.block_until_ready(out)
+    s = float(out[1])  # see bench_infer: D2H read, not block_until_ready
     dt = time.perf_counter() - t0
+    assert s == s, "nan loss from bench train loop"
     return dt, _flops(compiled)
 
 
@@ -146,7 +159,7 @@ def main():
     model = get_model(MODEL)
     dt, flops = (bench_train if MODE == "train" else bench_infer)(model)
     pairs_per_sec = BATCH * ITERS / dt
-    mfu = flops / dt / V5E_BF16_PEAK if flops == flops else None
+    mfu = flops * ITERS / dt / V5E_BF16_PEAK if flops == flops else None
 
     baseline_file = ("BENCH_BASELINE_train.json" if MODE == "train"
                      else "BENCH_BASELINE.json")

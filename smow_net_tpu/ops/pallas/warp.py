@@ -1,0 +1,194 @@
+"""Pallas TPU kernel for bilinear grid sampling (the OFW warp hot path).
+
+Why a kernel: measured on v5e, the XLA gather formulation of `grid_sample`
+is 44% of the whole SMOW_Net forward (47.5ms -> 26.5ms/batch-16 with the
+warp removed; tools/profile_warp.py). TPU has no fast per-element gather —
+XLA lowers the 4 corner gathers to a slow dynamic-gather loop.
+
+TPU-native design: bilinear sampling *is* a sparse matmul, so feed the MXU
+one-hot matrices instead of asking the VPU to gather:
+
+  out[p, c] = sum_{i,j} w_i(p) u_j(p) x[y_i(p), x_j(p), c]
+
+Per tile of `tile_p` output pixels (grid = (B, P/tile_p)):
+  1. build exact 0/1 one-hot row selectors OH_k[h, p] = (h == y_k[p]) and
+     gather both corner ROWS with two MXU matmuls
+     v_k = x^T @ OH_k  ((W*C, H) @ (H, tile_p)) — exact in any dtype since
+     each output sums exactly one nonzero product;
+  2. lerp the rows vertically in fp32;
+  3. select/lerp columns with a fused expanded weight mask
+     wh[w*C+c, p] = u_0(p)[w==x_0(p)] + u_1(p)[w==x_1(p)] (VPU, fp32);
+  4. reduce the W axis by log2(W) static tensor-halving adds — lane
+     congruence mod C is preserved, so no lane-splitting reshape and no
+     second matmul is needed.
+
+The whole input image (e.g. 128x128x32 bf16 = 1 MB) stays VMEM-resident
+across the pixel-tile grid axis. Corner gathers are bit-exact; the only
+arithmetic is the fp32 lerp, so the kernel matches the XLA path to the
+output-dtype ulp.
+
+Backward: custom VJP that recomputes through the XLA gather path (the
+backward of a gather is a scatter — out of scope for this kernel; training
+still gets the forward win).
+
+Reference hot loop: models/SMOW_Net.py:612-637 (F.grid_sample bilinear,
+border, align_corners=True).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["grid_sample_pallas", "pallas_warp_supported"]
+
+_TILE_P = 128
+
+
+def _kernel(idxw_ref, xt_ref, out_ref, *, H: int, W: int, C: int):
+    tp = out_ref.shape[-1]
+    y0 = idxw_ref[0, 0:1, :]   # (1, tp) fp32, integer-valued
+    y1 = idxw_ref[0, 1:2, :]
+    wy0 = idxw_ref[0, 2:3, :]
+    wy1 = idxw_ref[0, 3:4, :]
+    x0 = idxw_ref[0, 4:5, :]
+    x1 = idxw_ref[0, 5:6, :]
+    wx0 = idxw_ref[0, 6:7, :]
+    wx1 = idxw_ref[0, 7:8, :]
+
+    xt = xt_ref[0]  # (W*C, H)
+    ioh = jax.lax.broadcasted_iota(jnp.float32, (H, tp), 0)
+    dims = (((1,), (0,)), ((), ()))
+    # exact corner-row gathers on the MXU (one nonzero per output element)
+    v0 = jax.lax.dot_general(xt, (ioh == y0).astype(xt.dtype), dims,
+                             preferred_element_type=jnp.float32)
+    v1 = jax.lax.dot_general(xt, (ioh == y1).astype(xt.dtype), dims,
+                             preferred_element_type=jnp.float32)
+    v = v0 * wy0 + v1 * wy1  # (W*C, tp) fp32, vertical lerp
+
+    lane_w = (jax.lax.broadcasted_iota(jnp.int32, (W * C, tp), 0)
+              // C).astype(jnp.float32)
+    wh = wx0 * (lane_w == x0) + wx1 * (lane_w == x1)
+    t = v * wh
+    # fold W down to C: halving adds keep lane index congruent mod C
+    rows = W * C
+    while rows > C:
+        rows //= 2
+        t = t[:rows, :] + t[rows:, :]
+    out_ref[0] = t.astype(out_ref.dtype)
+
+
+def pallas_warp_supported(x_shape, grid_shape) -> bool:
+    """Shapes the kernel handles efficiently (else fall back to XLA).
+
+    The input image block (W*C, H) must fit VMEM alongside ~4 (W*C, 128)
+    fp32 temporaries, H rides the lane axis, and W must be a power of two
+    for the halving reduction."""
+    B, H, W, C = x_shape
+    _, Hg, Wg, _ = grid_shape
+    P = Hg * Wg
+    return (
+        P % _TILE_P == 0
+        and W * C <= 4096
+        and (W & (W - 1)) == 0
+        and H % 8 == 0
+        and H <= 512
+        and C % 8 == 0
+        and C <= 128
+    )
+
+
+def _corner_indices_weights(grid, H, W, padding_mode, align_corners):
+    """Separable corner indices + lerp weights, (B, P) fp32 each.
+
+    Same semantics as ops/warp.grid_sample (torch bilinear): border clamps
+    coordinates pre-floor; zeros folds per-axis validity into the weights
+    (w00 = wx0*wy0 etc. stays exactly the 4-corner weight because the mask
+    factorizes per axis)."""
+    B = grid.shape[0]
+    gx = grid[..., 0].reshape(B, -1).astype(jnp.float32)
+    gy = grid[..., 1].reshape(B, -1).astype(jnp.float32)
+    if align_corners:
+        ix = (gx + 1.0) * 0.5 * (W - 1)
+        iy = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        ix = ((gx + 1.0) * W - 1.0) * 0.5
+        iy = ((gy + 1.0) * H - 1.0) * 0.5
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, W - 1)
+        iy = jnp.clip(iy, 0.0, H - 1)
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    tx = ix - ix0
+    ty = iy - iy0
+    wx0, wx1 = 1.0 - tx, tx
+    wy0, wy1 = 1.0 - ty, ty
+    if padding_mode == "zeros":
+        wx0 = wx0 * ((ix0 >= 0) & (ix0 < W))
+        wx1 = wx1 * ((ix0 + 1 >= 0) & (ix0 + 1 < W))
+        wy0 = wy0 * ((iy0 >= 0) & (iy0 < H))
+        wy1 = wy1 * ((iy0 + 1 >= 0) & (iy0 + 1 < H))
+    x0c = jnp.clip(ix0, 0, W - 1)
+    x1c = jnp.clip(ix0 + 1, 0, W - 1)
+    y0c = jnp.clip(iy0, 0, H - 1)
+    y1c = jnp.clip(iy0 + 1, 0, H - 1)
+    return jnp.stack([y0c, y1c, wy0, wy1, x0c, x1c, wx0, wx1], axis=1)
+
+
+def _forward(x, grid, padding_mode, align_corners, interpret=False):
+    B, H, W, C = x.shape
+    _, Hg, Wg, _ = grid.shape
+    P = Hg * Wg
+    idxw = _corner_indices_weights(grid, H, W, padding_mode, align_corners)
+    xt = x.reshape(B, H, W * C).transpose(0, 2, 1)  # (B, W*C, H), w-major lanes
+
+    kernel = functools.partial(_kernel, H=H, W=W, C=C)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, P // _TILE_P),
+        in_specs=[
+            pl.BlockSpec((1, 8, _TILE_P), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, _TILE_P), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, P), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(idxw, xt)
+    return out.transpose(0, 2, 1).reshape(B, Hg, Wg, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def grid_sample_pallas(x, grid, padding_mode="border", align_corners=True,
+                       interpret=False):
+    """Drop-in for ops.warp.grid_sample on supported shapes (see
+    pallas_warp_supported); exact corner gathers, fp32 lerp."""
+    return _forward(x, grid, padding_mode, align_corners, interpret)
+
+
+def _fwd(x, grid, padding_mode, align_corners, interpret):
+    return _forward(x, grid, padding_mode, align_corners, interpret), (x, grid)
+
+
+def _bwd(padding_mode, align_corners, interpret, res, gy):
+    # backward of a gather is a scatter — route through the XLA path's
+    # autodiff (recomputes the cheap index math; the heavy fwd win remains)
+    from ..warp import grid_sample as xla_grid_sample
+
+    x, grid = res
+    _, vjp = jax.vjp(
+        lambda xx, gg: xla_grid_sample(xx, gg, padding_mode, align_corners),
+        x, grid)
+    return vjp(gy)
+
+
+grid_sample_pallas.defvjp(_fwd, _bwd)

@@ -6,10 +6,12 @@ Reproduces torch `F.grid_sample(mode='bilinear')` semantics exactly for
 + grid clamped to [-1,1]).
 
 TPU-first design: sampling coordinates are data-dependent, so the op is a
-batched gather. We flatten (H, W) and issue a single `take_along_axis` per
-corner (4 gathers total), which XLA lowers to an efficient dynamic-gather on
-TPU; weights/lerp fuse into the surrounding elementwise graph. A fused Pallas
-variant lives in `smow_net_tpu.ops.pallas.warp` for the production path.
+batched gather. The portable path flattens (H, W) and issues a single
+`take_along_axis` per corner (4 gathers total); but TPU has no fast
+per-element gather (measured: 44% of the SMOW_Net forward), so on TPU
+`grid_sample_auto` routes supported shapes to the one-hot-matmul Pallas
+kernel in `smow_net_tpu.ops.pallas.warp` — exact corner gathers on the MXU.
+`set_warp_impl("xla"|"pallas"|"auto")` overrides.
 
 Layout: channels-last. `x: (B, H, W, C)`, `grid: (B, Hg, Wg, 2)` with
 grid[..., 0] = x-coordinate (width), grid[..., 1] = y-coordinate (height),
@@ -20,7 +22,34 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["grid_sample", "flow_warp"]
+__all__ = ["grid_sample", "grid_sample_auto", "set_warp_impl", "flow_warp"]
+
+_IMPL = "auto"
+
+
+def set_warp_impl(name: str):
+    """Select the grid_sample backend: 'xla', 'pallas', or 'auto'
+    (pallas on TPU for supported shapes, xla otherwise)."""
+    assert name in ("auto", "xla", "pallas"), name
+    global _IMPL
+    _IMPL = name
+
+
+def grid_sample_auto(x, grid, padding_mode="border", align_corners=True):
+    impl = _IMPL
+    if impl == "auto":
+        import jax as _jax
+
+        from .pallas.warp import pallas_warp_supported
+
+        impl = "pallas" if (_jax.default_backend() == "tpu"
+                            and pallas_warp_supported(x.shape, grid.shape)
+                            ) else "xla"
+    if impl == "pallas":
+        from .pallas.warp import grid_sample_pallas
+
+        return grid_sample_pallas(x, grid, padding_mode, align_corners)
+    return grid_sample(x, grid, padding_mode, align_corners)
 
 
 def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
@@ -112,4 +141,4 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = True) -> 
     base = jnp.stack(jnp.meshgrid(fx, fy, indexing="xy"), axis=-1)  # (H, W, 2)
     norm = jnp.asarray([W, H], dtype=jnp.float32)
     grid = jnp.clip(base[None] + flow.astype(jnp.float32) / norm, -1.0, 1.0)
-    return grid_sample(x, grid, padding_mode="border", align_corners=align_corners)
+    return grid_sample_auto(x, grid, padding_mode="border", align_corners=align_corners)

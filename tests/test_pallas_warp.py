@@ -1,0 +1,76 @@
+"""Pallas warp kernel (ops/pallas/warp.py) vs the XLA gather path —
+interpret mode on CPU. On-TPU numbers live in PARITY.md (tools/profile_warp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smow_net_tpu.ops.pallas.warp import grid_sample_pallas, pallas_warp_supported
+from smow_net_tpu.ops.warp import flow_warp, grid_sample
+
+# P = 16*16 = 256 (tile-aligned), W power of two, C multiple of 8
+B, H, W, C = 2, 16, 16, 8
+
+
+def _rand(key):
+    kx, kg = jax.random.split(jax.random.PRNGKey(key))
+    x = jax.random.normal(kx, (B, H, W, C), jnp.float32)
+    # grid beyond [-1,1] to exercise border clamp / zeros masking
+    grid = jax.random.uniform(kg, (B, H, W, 2), jnp.float32, -1.3, 1.3)
+    return x, grid
+
+
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_matches_xla_path(padding_mode, align_corners):
+    x, grid = _rand(0)
+    ref = grid_sample(x, grid, padding_mode, align_corners)
+    out = grid_sample_pallas(x, grid, padding_mode, align_corners, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_exact_on_integer_grid():
+    # one-hot gather is bit-exact when the grid unnormalizes to exact
+    # integers: with align_corners=False and W a power of two,
+    # g = (2k+1)/W - 1 gives ix = ((g+1)*W - 1)/2 = k exactly
+    x, _ = _rand(1)
+    fx = (2.0 * jnp.arange(W) + 1.0) / W - 1.0
+    fy = (2.0 * jnp.arange(H) + 1.0) / H - 1.0
+    grid = jnp.broadcast_to(
+        jnp.stack(jnp.meshgrid(fx, fy, indexing="xy"), -1), (B, H, W, 2))
+    out = grid_sample_pallas(x, grid, "border", False, True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_flow_warp_auto_uses_xla_on_cpu():
+    # on CPU the auto path must stay on the (golden-tested) XLA gather
+    x, _ = _rand(2)
+    flow = jax.random.normal(jax.random.PRNGKey(3), (B, H, W, 2)) * 2.0
+    ref = flow_warp(x, flow)
+    assert ref.shape == x.shape
+
+
+def test_grad_matches_xla_path():
+    x, grid = _rand(4)
+
+    def loss_pl(x, g):
+        return jnp.sum(grid_sample_pallas(x, g, "border", True, True) ** 2)
+
+    def loss_xla(x, g):
+        return jnp.sum(grid_sample(x, g, "border", True) ** 2)
+
+    gp = jax.grad(loss_pl, argnums=(0, 1))(x, grid)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(x, grid)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_supported_gating():
+    assert pallas_warp_supported((16, 128, 128, 32), (16, 128, 128, 2))
+    assert pallas_warp_supported((16, 128, 128, 16), (16, 128, 128, 2))
+    assert not pallas_warp_supported((1, 100, 100, 32), (1, 100, 100, 2))  # W not pow2
+    assert not pallas_warp_supported((1, 256, 256, 32), (1, 256, 256, 2))  # W*C > 4096
+    assert not pallas_warp_supported((1, 16, 16, 3), (1, 16, 16, 2))  # C % 8

@@ -58,11 +58,11 @@ for impl in ("pallas", "xla"):
     run_c = jax.jit(lambda p, o, a, b, m: run(p, o, a, b, m))
     t0 = time.time()
     losses, chk = run_c(params, opt_state, a, b, m)
-    jax.block_until_ready((losses, chk))
+    float(chk)  # D2H read forces completion (tunnel-safe)
     compile_and_first = time.time() - t0
     t0 = time.time()
     losses, chk = run_c(params, opt_state, a, b, m)
-    jax.block_until_ready((losses, chk))
+    float(chk)
     dt = time.time() - t0
     per_step = dt / ITERS
     print(f"{impl}: {per_step*1000:.1f} ms/step ({BS/per_step:.1f} pairs/s) "

@@ -1,0 +1,32 @@
+"""On-TPU parity check: grid_sample_pallas vs the XLA gather path at the
+flagship OFW shapes, bf16 and f32, border/zeros x align flags."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smow_net_tpu.ops.pallas.warp import grid_sample_pallas
+from smow_net_tpu.ops.warp import grid_sample
+
+B, H, W, C = 16, 128, 128, 32
+
+for dtype in (jnp.bfloat16, jnp.float32):
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C), jnp.float32).astype(dtype)
+    grid = jax.random.uniform(jax.random.PRNGKey(1), (B, H, W, 2), jnp.float32, -1.2, 1.2)
+    for pm in ("border", "zeros"):
+        for ac in (True, False):
+            ref = np.asarray(jax.jit(
+                lambda x, g: grid_sample(x, g, pm, ac))(x, grid), np.float32)
+            out = np.asarray(jax.jit(
+                lambda x, g: grid_sample_pallas(x, g, pm, ac))(x, grid), np.float32)
+            err = np.max(np.abs(out - ref))
+            scale = np.max(np.abs(ref)) + 1e-9
+            print(f"{np.dtype(np.float32).name if dtype==jnp.float32 else 'bf16'} "
+                  f"{pm} ac={ac}: max_abs_err={err:.3e} (rel {err/scale:.3e})",
+                  flush=True)
+            tol = 1e-5 if dtype == jnp.float32 else 3e-2
+            assert err / scale < tol, (dtype, pm, ac, err)
+print("PALLAS_WARP_TPU_PARITY_OK", flush=True)

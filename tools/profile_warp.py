@@ -32,9 +32,9 @@ def bench(label):
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
 
     c = jax.jit(fwd_loop).lower(x1, x2).compile()
-    jax.block_until_ready(c(x1, x2))
+    float(c(x1, x2))  # warm; D2H read forces completion (tunnel-safe)
     t0 = time.perf_counter()
-    jax.block_until_ready(c(x1, x2))
+    float(c(x1, x2))
     dt = time.perf_counter() - t0
     print(f"{label}: {dt/ITERS*1000:.2f} ms/batch ({BS*ITERS/dt:.1f} pairs/s)", flush=True)
     return dt
