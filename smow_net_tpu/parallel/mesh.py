@@ -18,7 +18,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+           "fsdp_sharding"]
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis_names: Sequence[str] = ("data",),
@@ -43,3 +44,31 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     across the mesh's data axis."""
     sh = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def fsdp_sharding(mesh: Mesh, tree, axis: str = "data", min_elems: int = 2 ** 14):
+    """FSDP/ZeRO-style sharding tree: each large leaf is sharded along its
+    largest divisible dimension over `axis`; small leaves (BN stats, biases,
+    scalars) stay replicated. Under jit, XLA inserts the per-layer
+    all-gathers in forward/backward and keeps grads + optimizer state
+    sharded (reduce-scatter) — the standard GSPMD weight-sharding recipe.
+
+    Use axis="data" on a 1-D mesh for ZeRO over the batch axis, or a
+    dedicated "model" axis of a 2-D mesh for FSDP orthogonal to DP."""
+    n = mesh.shape[axis]
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        size = 1
+        for s in shape:
+            size *= s
+        if n == 1 or not shape or size < min_elems:
+            return NamedSharding(mesh, P())
+        for d in sorted(range(len(shape)), key=lambda d: shape[d], reverse=True):
+            if shape[d] % n == 0:
+                spec = [None] * len(shape)
+                spec[d] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)

@@ -88,10 +88,15 @@ def create_train_state(model, rng, sample_batch, tx) -> TrainState:
     )
 
 
-def make_train_step(model, mesh=None, donate: bool = True, compute_dtype=None):
+def make_train_step(model, mesh=None, donate: bool = True, compute_dtype=None,
+                    state_sharding=None):
     """compute_dtype=jnp.bfloat16 enables mixed precision: master params and
     grads stay fp32; forward/backward run in bf16 (fp32 MXU accumulation via
-    the conv ops); the loss is evaluated on fp32-cast predictions."""
+    the conv ops); the loss is evaluated on fp32-cast predictions.
+
+    state_sharding: optional sharding pytree for the TrainState (e.g. from
+    parallel.mesh.fsdp_sharding) — params/optimizer state stay sharded
+    across steps; XLA inserts the per-layer all-gathers/reduce-scatters."""
 
     def step_fn(state: TrainState, batch):
         x1, x2, gt = batch["A"], batch["B"], batch["mask"]
@@ -138,10 +143,11 @@ def make_train_step(model, mesh=None, donate: bool = True, compute_dtype=None):
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    st = rep if state_sharding is None else state_sharding
     return jax.jit(
         step_fn,
-        in_shardings=(rep, data),
-        out_shardings=(rep, rep),
+        in_shardings=(st, data),
+        out_shardings=(st, rep),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -71,3 +71,44 @@ def test_sharded_train_steps_decrease_loss(synth_root):
     assert int(state.step) == 3
     cm = np.asarray(state.cm)
     assert cm.sum() == 3 * 8 * 64 * 64  # every pixel counted every step
+
+
+def test_fsdp_matches_dp_step(synth_root):
+    """ZeRO/FSDP weight sharding (2-D data x model mesh) computes the same
+    step as replicated DP — only the layout differs."""
+    from smow_net_tpu.parallel.mesh import fsdp_sharding, shard_batch
+
+    model = get_model("smow_net")
+    # SGD: the update is linear in the gradient, so cross-mesh reduction-
+    # order noise stays ~1e-9 (Adam at step 1 turns a +-1e-12 gradient into
+    # a full +-lr step of arbitrary sign)
+    tx = make_optimizer(get_schedule("cosine", 1e-3, 1, 2), 1e-4, 0.5,
+                        optimizer="sgd")
+    ds = CDDataset(synth_root, "train")
+    loader = DataLoader(ds, batch_size=8, shuffle=False)
+    host_batch = next(iter(loader))
+
+    mesh_dp = make_mesh()
+    state = create_train_state(model, jax.random.PRNGKey(0), host_batch, tx)
+    s_dp = jax.device_put(state, replicated_sharding(mesh_dp))
+    out_dp, loss_dp = make_train_step(model, mesh_dp, donate=False)(
+        s_dp, shard_batch(host_batch, mesh_dp))
+
+    mesh2 = make_mesh(axis_names=("data", "model"), shape=(4, 2))
+    sh = fsdp_sharding(mesh2, state, axis="model", min_elems=2 ** 10)
+    s_fs = jax.device_put(state, sh)
+    # at least one large kernel must actually be sharded over 'model'
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s.spec, sh,
+                               is_leaf=lambda x: hasattr(x, "spec")))
+    assert any("model" in str(sp) for sp in specs)
+    out_fs, loss_fs = make_train_step(model, mesh2, donate=False,
+                                      state_sharding=sh)(
+        s_fs, shard_batch(host_batch, mesh2))
+
+    np.testing.assert_allclose(float(loss_fs), float(loss_dp), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(out_dp.params)
+    b = jax.tree_util.tree_leaves(out_fs.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5)

@@ -52,6 +52,11 @@ def parse_option():
                         "mobilenet_v2 for smow_net_lw/a2net, vgg16 for ifn "
                         "(mirrors reference train.py:84-85)")
     p.add_argument("--bf16", action="store_true", help="mixed-precision training: bf16 forward/backward, fp32 master params")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO/FSDP-style weight sharding: params + optimizer "
+                        "state sharded over the mesh data axis (XLA inserts "
+                        "per-layer all-gathers / reduce-scatters); frees "
+                        "HBM for larger models/batches on pod slices")
     p.add_argument("--remat", action="store_true",
                    help="activation rematerialization for the Mamba models "
                         "(reference use_checkpoint, vmamba.py:1388-1392): "
@@ -132,7 +137,14 @@ def main(opt):
         print(f"resumed from {opt.resume} at epoch {start_epoch}")
 
     compute_dtype = jnp.bfloat16 if opt.bf16 else None
-    train_step = make_train_step(model, mesh, compute_dtype=compute_dtype)
+    state_sharding = None
+    if opt.fsdp:
+        from smow_net_tpu.parallel.mesh import fsdp_sharding
+
+        state_sharding = fsdp_sharding(mesh, state)
+        state = jax.device_put(state, state_sharding)
+    train_step = make_train_step(model, mesh, compute_dtype=compute_dtype,
+                                 state_sharding=state_sharding)
     eval_step = make_eval_step(model, mesh)
     jsonl = open(os.path.join(opt.output_dir, "metrics.jsonl"), "a")
 
