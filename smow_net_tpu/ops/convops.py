@@ -17,7 +17,47 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["conv", "conv_transpose", "to_tuple", "causal_conv1d"]
+__all__ = ["conv", "conv_transpose", "to_tuple", "causal_conv1d",
+           "set_conv3d_impl"]
+
+# 3-D convs with a short temporal kernel can be rewritten exactly as kt
+# batched 2-D convs over (B*T) frames plus temporal shifts; whether that
+# beats XLA's native Conv3D lowering on TPU is measured by
+# tools/probe_conv3d.py. "auto" currently keeps the native lowering.
+_CONV3D_IMPL = "auto"
+
+
+def set_conv3d_impl(name: str):
+    assert name in ("auto", "xla", "decomposed"), name
+    global _CONV3D_IMPL
+    _CONV3D_IMPL = name
+
+
+def _conv3d_decomposed(x, kernel, stride, pad, dilation, groups):
+    """Exact rewrite of a (kt, kh, kw) conv with stride_t=1, dil_t=1,
+    pad_t=kt//2 as kt 2-D convs over B*T frames + temporal shifts."""
+    B, T, H, W, C = x.shape
+    kt = kernel.shape[0]
+    xt = x.reshape(B * T, H, W, C)
+    half = kt // 2
+    out = None
+    for dt in range(kt):
+        y = lax.conv_general_dilated(
+            xt, kernel[dt], window_strides=stride[1:],
+            padding=[(pad[1], pad[1]), (pad[2], pad[2])],
+            rhs_dilation=dilation[1:], dimension_numbers=_dim_numbers(2),
+            feature_group_count=groups, preferred_element_type=x.dtype,
+        )
+        y = y.reshape(B, T, *y.shape[1:])
+        shift = dt - half  # out[t] takes tap dt from frame t + shift
+        if shift < 0:
+            z = jnp.zeros_like(y[:, :(-shift)])
+            y = jnp.concatenate([z, y[:, :shift]], axis=1)
+        elif shift > 0:
+            z = jnp.zeros_like(y[:, :shift])
+            y = jnp.concatenate([y[:, shift:], z], axis=1)
+        out = y if out is None else out + y
+    return out
 
 
 def to_tuple(v, n: int) -> Tuple[int, ...]:
@@ -52,6 +92,10 @@ def conv(
     stride = to_tuple(stride, n)
     dilation = to_tuple(dilation, n)
     pad = to_tuple(padding, n)
+    if (n == 3 and _CONV3D_IMPL == "decomposed" and kernel.shape[0] > 1
+            and kernel.shape[0] % 2 == 1 and stride[0] == 1
+            and dilation[0] == 1 and pad[0] == kernel.shape[0] // 2):
+        return _conv3d_decomposed(x, kernel, stride, pad, dilation, groups)
     pads = [(p, p) for p in pad]
     return lax.conv_general_dilated(
         x,

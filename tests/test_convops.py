@@ -117,3 +117,24 @@ def test_causal_conv1d():
     out = np.asarray(causal_conv1d(np.transpose(x, (0, 2, 1)), k, groups=C))
     out = np.transpose(out, (0, 2, 1))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_conv3d_decomposed_matches_native():
+    import jax
+    import jax.numpy as jnp
+
+    from smow_net_tpu.ops import convops
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 10, 10, 6), jnp.float32)
+    for groups, cin, cout, stride in [(1, 6, 8, 1), (1, 6, 8, (1, 2, 2)), (6, 1, 6, 1)]:
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, cin, cout)) * 0.1
+        ref = convops.conv(x, w, stride, 1, 1, groups)
+        convops.set_conv3d_impl("decomposed")
+        try:
+            out = convops.conv(x, w, stride, 1, 1, groups)
+        finally:
+            convops.set_conv3d_impl("auto")
+        assert out.shape == ref.shape
+        import numpy as np
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
