@@ -27,9 +27,12 @@ across the pixel-tile grid axis. Corner gathers are bit-exact; the only
 arithmetic is the fp32 lerp, so the kernel matches the XLA path to the
 output-dtype ulp.
 
-Backward: custom VJP that recomputes through the XLA gather path (the
-backward of a gather is a scatter — out of scope for this kernel; training
-still gets the forward win).
+Backward: analytic custom VJP with a second kernel of the same one-hot
+machinery — dx is the transposed one-hot matmul (scatter-as-matmul,
+accumulated across pixel tiles in VMEM), and the grid gradient needs only
+the four separable lerp-weight gradients (corner indices get zero grads),
+chained through the index/weight precompute via jax.vjp of its pure-XLA
+elementwise math. No gather or scatter HLO anywhere in fwd or bwd.
 
 Reference hot loop: models/SMOW_Net.py:612-637 (F.grid_sample bilinear,
 border, align_corners=True).
@@ -61,18 +64,19 @@ def _kernel(idxw_ref, xt_ref, out_ref, *, H: int, W: int, C: int):
     wx1 = idxw_ref[0, 7:8, :]
 
     xt = xt_ref[0]  # (W*C, H)
-    ioh = jax.lax.broadcasted_iota(jnp.float32, (H, tp), 0)
+    # Mosaic iota must be integer-typed; indices arrive fp32 -> cast once
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
     dims = (((1,), (0,)), ((), ()))
     # exact corner-row gathers on the MXU (one nonzero per output element)
-    v0 = jax.lax.dot_general(xt, (ioh == y0).astype(xt.dtype), dims,
-                             preferred_element_type=jnp.float32)
-    v1 = jax.lax.dot_general(xt, (ioh == y1).astype(xt.dtype), dims,
-                             preferred_element_type=jnp.float32)
+    v0 = jax.lax.dot_general(xt, (ioh == y0.astype(jnp.int32)).astype(xt.dtype),
+                             dims, preferred_element_type=jnp.float32)
+    v1 = jax.lax.dot_general(xt, (ioh == y1.astype(jnp.int32)).astype(xt.dtype),
+                             dims, preferred_element_type=jnp.float32)
     v = v0 * wy0 + v1 * wy1  # (W*C, tp) fp32, vertical lerp
 
-    lane_w = (jax.lax.broadcasted_iota(jnp.int32, (W * C, tp), 0)
-              // C).astype(jnp.float32)
-    wh = wx0 * (lane_w == x0) + wx1 * (lane_w == x1)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (W * C, tp), 0) // C
+    wh = (wx0 * (lane_w == x0.astype(jnp.int32))
+          + wx1 * (lane_w == x1.astype(jnp.int32)))
     t = v * wh
     # fold W down to C: halving adds keep lane index congruent mod C
     rows = W * C
@@ -80,6 +84,79 @@ def _kernel(idxw_ref, xt_ref, out_ref, *, H: int, W: int, C: int):
         rows //= 2
         t = t[:rows, :] + t[rows:, :]
     out_ref[0] = t.astype(out_ref.dtype)
+
+
+def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
+                H: int, W: int, C: int):
+    """Per pixel-tile: dx += Wv^T (Wh_exp . G_exp) (MXU, accumulated across
+    the tile grid axis) and the four lerp-weight gradients
+    dwy_k = sum_c g . (row y_k, horizontally lerped),
+    dwx_j = sum_c g . (column x_j, vertically lerped)."""
+    tp = dw_ref.shape[-1]
+    y0 = idxw_ref[0, 0:1, :]
+    y1 = idxw_ref[0, 1:2, :]
+    wy0 = idxw_ref[0, 2:3, :]
+    wy1 = idxw_ref[0, 3:4, :]
+    x0 = idxw_ref[0, 4:5, :]
+    x1 = idxw_ref[0, 5:6, :]
+    wx0 = idxw_ref[0, 6:7, :]
+    wx1 = idxw_ref[0, 7:8, :]
+
+    xt = xt_ref[0]          # (W*C, H)
+    gt = gt_ref[0]          # (C, tp)
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
+    oh0 = (ioh == y0.astype(jnp.int32)).astype(xt.dtype)
+    oh1 = (ioh == y1.astype(jnp.int32)).astype(xt.dtype)
+    dims = (((1,), (0,)), ((), ()))
+    v0 = jax.lax.dot_general(xt, oh0, dims, preferred_element_type=jnp.float32)
+    v1 = jax.lax.dot_general(xt, oh1, dims, preferred_element_type=jnp.float32)
+
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (W * C, tp), 0) // C
+    ohx0 = (lane_w == x0.astype(jnp.int32)).astype(jnp.float32)
+    ohx1 = (lane_w == x1.astype(jnp.int32)).astype(jnp.float32)
+    wh = wx0 * ohx0 + wx1 * ohx1                    # (W*C, tp)
+
+    # G_exp[w*C+c, p] = g[c, p]: tile g over w via a 0/1 matmul
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 0) % C
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 1)
+    R = (lane_c == col_c).astype(gt.dtype)          # (W*C, C) constant
+    g_exp = jax.lax.dot_general(R, gt, dims, preferred_element_type=jnp.float32)
+
+    def fold(t):  # (W*C, tp) -> (C, tp), sum over w (lane-congruent halving)
+        rows = W * C
+        while rows > C:
+            rows //= 2
+            t = t[:rows, :] + t[rows:, :]
+        return t
+
+    # weight gradients
+    r0 = fold(v0 * wh)                              # (C, tp) row y0, x-lerped
+    r1 = fold(v1 * wh)
+    vlerp = wy0 * v0 + wy1 * v1
+    q0 = fold(vlerp * ohx0)                         # (C, tp) col x0, y-lerped
+    q1 = fold(vlerp * ohx1)
+    gf = gt.astype(jnp.float32)
+    zero = jnp.zeros((1, tp), jnp.float32)
+    dw_ref[0] = jnp.concatenate([
+        zero, zero,
+        jnp.sum(gf * r0, axis=0, keepdims=True),
+        jnp.sum(gf * r1, axis=0, keepdims=True),
+        zero, zero,
+        jnp.sum(gf * q0, axis=0, keepdims=True),
+        jnp.sum(gf * q1, axis=0, keepdims=True),
+    ], axis=0)
+
+    # dx^T (W*C, H) += (wh . g_exp) @ Wv^T  with Wv^T = wy0.oh0 + wy1.oh1
+    wvt = (wy0 * oh0.astype(jnp.float32) + wy1 * oh1.astype(jnp.float32))
+    contrib = jax.lax.dot_general(
+        (wh * g_exp).astype(xt.dtype), wvt.astype(xt.dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dxt_ref[0] = jnp.zeros_like(dxt_ref[0])
+
+    dxt_ref[0] += contrib
 
 
 def pallas_warp_supported(x_shape, grid_shape) -> bool:
@@ -180,15 +257,49 @@ def _fwd(x, grid, padding_mode, align_corners, interpret):
 
 
 def _bwd(padding_mode, align_corners, interpret, res, gy):
-    # backward of a gather is a scatter — route through the XLA path's
-    # autodiff (recomputes the cheap index math; the heavy fwd win remains)
-    from ..warp import grid_sample as xla_grid_sample
-
     x, grid = res
-    _, vjp = jax.vjp(
-        lambda xx, gg: xla_grid_sample(xx, gg, padding_mode, align_corners),
-        x, grid)
-    return vjp(gy)
+    B, H, W, C = x.shape
+    _, Hg, Wg, _ = grid.shape
+    P = Hg * Wg
+    # index/weight precompute is pure elementwise XLA — differentiate it
+    # with jax.vjp so clamp/mask semantics match the XLA path's autodiff
+    idxw, f_vjp = jax.vjp(
+        lambda g: _corner_indices_weights(g, H, W, padding_mode, align_corners),
+        grid)
+    xt = x.reshape(B, H, W * C).transpose(0, 2, 1)
+    gt = gy.reshape(B, P, C).transpose(0, 2, 1)
+
+    kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C)
+    dxt, dw = pl.pallas_call(
+        kernel,
+        grid=(B, P // _TILE_P),
+        in_specs=[
+            pl.BlockSpec((1, 8, _TILE_P), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, _TILE_P), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _TILE_P), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W * C, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, P), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(idxw, xt, gt)
+
+    dx = dxt.transpose(0, 2, 1).reshape(B, H, W, C).astype(x.dtype)
+    (dgrid,) = f_vjp(dw)
+    return dx, dgrid
 
 
 grid_sample_pallas.defvjp(_fwd, _bwd)

@@ -52,14 +52,19 @@ def test_flow_warp_auto_uses_xla_on_cpu():
     assert ref.shape == x.shape
 
 
-def test_grad_matches_xla_path():
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_grad_matches_xla_path(padding_mode, align_corners):
+    # the analytic kernel VJP (dx scatter-as-matmul + separable weight
+    # grads chained through the index precompute) must equal XLA autodiff
     x, grid = _rand(4)
 
     def loss_pl(x, g):
-        return jnp.sum(grid_sample_pallas(x, g, "border", True, True) ** 2)
+        return jnp.sum(
+            grid_sample_pallas(x, g, padding_mode, align_corners, True) ** 2)
 
     def loss_xla(x, g):
-        return jnp.sum(grid_sample(x, g, "border", True) ** 2)
+        return jnp.sum(grid_sample(x, g, padding_mode, align_corners) ** 2)
 
     gp = jax.grad(loss_pl, argnums=(0, 1))(x, grid)
     gx = jax.grad(loss_xla, argnums=(0, 1))(x, grid)

@@ -30,3 +30,21 @@ for dtype in (jnp.bfloat16, jnp.float32):
             tol = 1e-5 if dtype == jnp.float32 else 3e-2
             assert err / scale < tol, (dtype, pm, ac, err)
 print("PALLAS_WARP_TPU_PARITY_OK", flush=True)
+
+
+# grad parity (analytic kernel VJP vs XLA autodiff) at flagship shapes, fp32
+def _gp():
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, H, W, C), jnp.float32)
+    grid = jax.random.uniform(jax.random.PRNGKey(3), (4, H, W, 2), jnp.float32, -1.2, 1.2)
+    lp = jax.jit(jax.grad(lambda x, g: jnp.sum(grid_sample_pallas(x, g, "border", True) ** 2), argnums=(0, 1)))
+    lx = jax.jit(jax.grad(lambda x, g: jnp.sum(grid_sample(x, g, "border", True) ** 2), argnums=(0, 1)))
+    gp = lp(x, grid)
+    gx = lx(x, grid)
+    for name, a, b in [("dx", gp[0], gx[0]), ("dgrid", gp[1], gx[1])]:
+        a = np.asarray(a, np.float32); b = np.asarray(b, np.float32)
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
+        print(f"grad {name}: rel_err={err:.3e}", flush=True)
+        assert err < 1e-4, (name, err)
+
+_gp()
+print("PALLAS_WARP_TPU_GRAD_OK", flush=True)
