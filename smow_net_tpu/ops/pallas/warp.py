@@ -50,6 +50,18 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["grid_sample_pallas", "pallas_warp_supported"]
 
 _TILE_P = 128
+# The backward kernel keeps ~10 (W*C, tile) fp32 temporaries live (one-hots,
+# lerps, expanded grads) plus the image and dx-accumulator blocks; at
+# tile=128 and W*C=4096 that needs ~18 MB of scoped VMEM (measured 17.96 MB
+# on v5e), over Mosaic's conservative 16 MB default. The tile can't shrink
+# (128 lanes is the minimum block), so raise the limit — v5e has 128 MB.
+_BWD_VMEM_LIMIT = 48 * 1024 * 1024
+
+
+def _prec(dtype):
+    """MXU matmuls truncate f32 operands to bf16 at default precision; the
+    one-hot gathers are only exact if the value operand survives intact."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
 
 
 def _kernel(idxw_ref, xt_ref, out_ref, *, H: int, W: int, C: int):
@@ -67,11 +79,15 @@ def _kernel(idxw_ref, xt_ref, out_ref, *, H: int, W: int, C: int):
     # Mosaic iota must be integer-typed; indices arrive fp32 -> cast once
     ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
     dims = (((1,), (0,)), ((), ()))
-    # exact corner-row gathers on the MXU (one nonzero per output element)
+    # exact corner-row gathers on the MXU (one nonzero per output element);
+    # f32 operands need HIGHEST or the MXU truncates them to bf16 mid-gather
+    prec = _prec(xt.dtype)
     v0 = jax.lax.dot_general(xt, (ioh == y0.astype(jnp.int32)).astype(xt.dtype),
-                             dims, preferred_element_type=jnp.float32)
+                             dims, preferred_element_type=jnp.float32,
+                             precision=prec)
     v1 = jax.lax.dot_general(xt, (ioh == y1.astype(jnp.int32)).astype(xt.dtype),
-                             dims, preferred_element_type=jnp.float32)
+                             dims, preferred_element_type=jnp.float32,
+                             precision=prec)
     v = v0 * wy0 + v1 * wy1  # (W*C, tp) fp32, vertical lerp
 
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (W * C, tp), 0) // C
@@ -108,8 +124,11 @@ def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
     oh0 = (ioh == y0.astype(jnp.int32)).astype(xt.dtype)
     oh1 = (ioh == y1.astype(jnp.int32)).astype(xt.dtype)
     dims = (((1,), (0,)), ((), ()))
-    v0 = jax.lax.dot_general(xt, oh0, dims, preferred_element_type=jnp.float32)
-    v1 = jax.lax.dot_general(xt, oh1, dims, preferred_element_type=jnp.float32)
+    prec = _prec(xt.dtype)
+    v0 = jax.lax.dot_general(xt, oh0, dims, preferred_element_type=jnp.float32,
+                             precision=prec)
+    v1 = jax.lax.dot_general(xt, oh1, dims, preferred_element_type=jnp.float32,
+                             precision=prec)
 
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (W * C, tp), 0) // C
     ohx0 = (lane_w == x0.astype(jnp.int32)).astype(jnp.float32)
@@ -120,7 +139,8 @@ def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 0) % C
     col_c = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 1)
     R = (lane_c == col_c).astype(gt.dtype)          # (W*C, C) constant
-    g_exp = jax.lax.dot_general(R, gt, dims, preferred_element_type=jnp.float32)
+    g_exp = jax.lax.dot_general(R, gt, dims, preferred_element_type=jnp.float32,
+                                precision=_prec(gt.dtype))
 
     def fold(t):  # (W*C, tp) -> (C, tp), sum over w (lane-congruent halving)
         rows = W * C
@@ -150,7 +170,8 @@ def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
     wvt = (wy0 * oh0.astype(jnp.float32) + wy1 * oh1.astype(jnp.float32))
     contrib = jax.lax.dot_general(
         (wh * g_exp).astype(xt.dtype), wvt.astype(xt.dtype),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -293,6 +314,7 @@ def _bwd(padding_mode, align_corners, interpret, res, gy):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(idxw, xt, gt)
