@@ -1,0 +1,143 @@
+"""Stage-by-stage timing of SMOW_Net inference on TPU (bf16, batch 16,
+256x256): each stage is compiled standalone with the in-graph sequential-
+loop methodology (CLAUDE.md) so its share of the 464-pairs/s forward and its
+achieved FLOP/s are visible. Decides where the next kernel/fusion goes."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import jax
+import jax.numpy as jnp
+
+BS = int(os.environ.get("PB_BS", "16"))
+SIZE = int(os.environ.get("PB_SIZE", "256"))
+ITERS = int(os.environ.get("PB_ITERS", "20"))
+PEAK = 197e12
+
+
+def timeit(label, module, *args, train_kw=True):
+    """module(*args [, train=False]) timed with an in-graph fori_loop that
+    feeds a scalar carry back into the first arg (full-output consumption)."""
+    kw = {"train": False} if train_kw else {}
+    variables = module.init(jax.random.PRNGKey(0), *args, **kw)
+    variables = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        variables)
+
+    def loop(*xs):
+        def body(_, carry):
+            out = module.apply(variables, xs[0] + carry.astype(xs[0].dtype),
+                               *xs[1:], **kw)
+            if isinstance(out, tuple):
+                leaves = jax.tree_util.tree_leaves(out)
+                s = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
+            else:
+                s = jnp.mean(out.astype(jnp.float32))
+            return (s * 1e-9).astype(jnp.float32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+    c = jax.jit(loop).lower(*args).compile()
+    try:
+        cost = c.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+    float(c(*args))  # warm
+    t0 = time.perf_counter()
+    float(c(*args))
+    dt = time.perf_counter() - t0
+    ms = dt / ITERS * 1e3
+    mfu = flops * ITERS / dt / PEAK
+    print(f"{label:34s} {ms:8.2f} ms  {flops/1e9:8.1f} GF  mfu {mfu*100:5.1f}%",
+          flush=True)
+    return ms
+
+
+def main():
+    import flax.linen as nn
+
+    from smow_net_tpu.models.smow_net import (
+        OFW, BasicConv3d, ConvBlock23d, ConvTransBlock3d,
+        PixelTransformerDecoder, TokenTransformerEncoder)
+    from smow_net_tpu.nn.resnet3d import ResNet3D
+    from smow_net_tpu.ops.pixel_shuffle import smow_shuffle
+    from smow_net_tpu.ops.pooling import max_pool
+    from smow_net_tpu.ops.resize import resize_linear
+
+    H = SIZE
+    bf = jnp.bfloat16
+    r = jax.random.normal
+    k = jax.random.PRNGKey
+
+    x = r(k(0), (BS, 2, H, H, 3), bf)
+    timeit("resnet3d encoder", ResNet3D(), x)
+
+    x0 = r(k(1), (BS, 2, H // 2, H // 2, 64), bf)
+    timeit("Conv3d reduce (64->32 @128)", BasicConv3d(32), x0)
+
+    x0r = r(k(2), (BS, 2, H // 2, H // 2, 32), bf)
+    timeit("OFW (flow conv + 2 warps)", OFW(32), x0r)
+
+    t4 = r(k(3), (BS, 4, H // 2, H // 2, 32), bf)
+    timeit("token transformer encoder", TokenTransformerEncoder(32), t4,
+           train_kw=False)
+
+    class Decoder(nn.Module):
+        @nn.compact
+        def __call__(self, f1, f2, f3, f4, x0, train=False):
+            y = max_pool(f4, (1, 2, 2), (1, 2, 2))
+            y = ConvTransBlock3d(256, name="C3DT1")(y, train)
+            y = ConvBlock23d(128, name="C3D1")(jnp.concatenate([y, f4], -1), train)
+            y = ConvTransBlock3d(128, name="C3DT2")(y, train)
+            y = ConvBlock23d(64, name="C3D2")(jnp.concatenate([y, f3], -1), train)
+            y = ConvTransBlock3d(64, name="C3DT3")(y, train)
+            y = ConvBlock23d(64, name="C3D3")(jnp.concatenate([y, f2], -1), train)
+            y = ConvTransBlock3d(64, name="C3DT4")(y, train)
+            y = ConvBlock23d(32, name="C3D4")(jnp.concatenate([y, f1], -1), train)
+            y = ConvTransBlock3d(32, name="C3DT5")(y, train)
+            y = ConvBlock23d(32, name="C3D5")(jnp.concatenate([y, x0], -1), train)
+            return y
+
+    s = H // 2
+    f1 = r(k(4), (BS, 4, s // 2, s // 2, 32), bf)
+    f2 = r(k(5), (BS, 4, s // 4, s // 4, 64), bf)
+    f3 = r(k(6), (BS, 4, s // 8, s // 8, 128), bf)
+    f4 = r(k(7), (BS, 4, s // 16, s // 16, 256), bf)
+    x0l = r(k(8), (BS, 4, s, s, 32), bf)
+    timeit("3D U-Net decoder (5 stages)", Decoder(), f1, f2, f3, f4, x0l)
+
+    y = r(k(9), (BS, 4, s, s, 32), bf)
+    m = r(k(10), (BS, 8, 128), bf)
+    timeit("pixel cross-attn decoder", PixelTransformerDecoder(128), y, m,
+           train_kw=False)
+
+    class Head(nn.Module):
+        @nn.compact
+        def __call__(self, y):
+            from smow_net_tpu.nn.layers import Conv
+            y = Conv(4, 1, use_bias=False, name="classifier_conv")(y)
+            return nn.sigmoid(smow_shuffle(y, 2))
+
+    yq = r(k(11), (BS, s, s, 128), bf)
+    timeit("classifier head + shuffle", Head(), yq, train_kw=False)
+
+    # the five trilinear T-lifts (2->4) on the skip maps
+    class Lift(nn.Module):
+        @nn.compact
+        def __call__(self, a, b, c, d, e):
+            lift = lambda v: resize_linear(v, (4,), (1,), align_corners=True)
+            return tuple(map(lift, (a, b, c, d, e)))
+
+    l0 = r(k(12), (BS, 2, s, s, 32), bf)
+    l1 = r(k(13), (BS, 2, s // 2, s // 2, 32), bf)
+    l2 = r(k(14), (BS, 2, s // 4, s // 4, 64), bf)
+    l3 = r(k(15), (BS, 2, s // 8, s // 8, 128), bf)
+    l4 = r(k(16), (BS, 2, s // 16, s // 16, 256), bf)
+    timeit("temporal lifts (x5)", Lift(), l0, l1, l2, l3, l4, train_kw=False)
+
+
+if __name__ == "__main__":
+    main()
