@@ -1,0 +1,412 @@
+"""Fully-fused Pallas TPU selective scan (S6) — the speed-of-light design.
+
+The chunked kernel in ops/pallas/scan.py streams the recurrence but still
+materialises the N-expanded gate tensors dA = exp(dt*A) and dBu = dt*u*B
+— (B, L, D, N) fp32 in HBM, N=16x the payload — plus their layout copies.
+Measured on v5e those materialisations dominate Mamba training end-to-end
+(change_mamba train steps are scan-backend-insensitive at 412 ms/step
+because both backends pay the same HBM traffic).
+
+This kernel fuses the whole op, mirroring the reference CUDA kernel's
+structure (compare/vmamba.py:253-321 wraps selective_scan_cuda which does
+exactly this): HBM holds only the natural-sized operands
+
+    u, delta: (B, L, D)   A: (D, N)   B, C: (B, L, G, N)   y: (B, L, D)
+
+and everything N-expanded lives in VMEM for one chunk at a time:
+
+  grid = (B*G, L/chunk); each program owns one (batch, group) pair and the
+  full Cg = D/G channel slice (lanes). The hidden state h is an (N, Cg)
+  VMEM scratch carried across the sequential chunk axis. Per step-row slab:
+    dt   = softplus(delta + bias)              (step, Cg) VPU
+    a_r  = exp(dt_r * A)                       (N, Cg)    VPU, per row
+    b_r  = B_r^T (dt_r * u_r)                  (N,1)*(1,Cg) broadcast
+    h    = a_r * h + b_r                       (N, Cg) fused multiply-add
+    y_r  = sum_n C_r[n] h[n,:] + D u_r        sublane reduction
+  B/C rows are lifted from lanes to sublanes with one (step, N) -> (N, step)
+  transpose per slab (tiny XLU shuffle), so every per-row factor broadcasts
+  along its natural axis and no one-hot matmuls are needed.
+
+HBM traffic per element drops from ~6 N-expanded round trips to one read of
+each input and one write of y (~30x less at N=16).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["selective_scan_fused", "fused_supported"]
+
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _pick_chunk_bwd(L: int, Cg: int, N: int,
+                    budget_bytes: int = 4 << 20) -> int:
+    """The reverse kernel keeps the recomputed (chunk, N, Cg) h states in
+    VMEM scratch; size the chunk so that stays under the budget."""
+    chunk = 1024
+    while chunk * N * Cg * 4 > budget_bytes and chunk > 8:
+        chunk //= 2
+    while L % chunk:
+        chunk //= 2
+    return max(chunk, 1)
+
+
+def _pick_chunk(L: int, Cg: int, budget_bytes: int = 2 << 20) -> int:
+    """Largest power-of-two chunk dividing L whose (chunk, Cg) fp32 block
+    stays under the budget (u, dt, y blocks each hold one)."""
+    chunk = 1024
+    while chunk * Cg * 4 > budget_bytes and chunk > 8:
+        chunk //= 2
+    while L % chunk:
+        chunk //= 2
+    return max(chunk, 1)
+
+
+def fused_supported(L: int, Cg: int) -> bool:
+    """The kernel needs a power-of-two-friendly chunking of L and a
+    lane-tileable channel slice."""
+    return L % _pick_chunk(L, Cg) == 0 and Cg % 8 == 0 and _pick_chunk(L, Cg) >= 8
+
+
+def _fwd_kernel(dt_ref, u_ref, B_ref, C_ref, A_ref, D_ref, y_ref, h_st,
+                *, chunk: int, step: int, softplus: bool):
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_st[:] = jnp.zeros_like(h_st)
+
+    A = A_ref[0]                    # (N, Cg) fp32 (already -exp(A_log))
+    Dv = D_ref[0]                   # (1, Cg)
+
+    def slab(i, h):
+        base = i * step
+        dt = dt_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        if softplus:
+            dt = jax.nn.softplus(dt)
+        u = u_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        dtu = dt * u                                     # (step, Cg)
+        Bs = B_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        Cs = C_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        BsT = Bs.T                                       # (N, step)
+        CsT = Cs.T
+        rows = []
+        for r in range(step):
+            a_r = jnp.exp(dt[r : r + 1, :] * A)          # (N, Cg)
+            b_r = BsT[:, r : r + 1] * dtu[r : r + 1, :]  # (N, Cg)
+            h = a_r * h + b_r
+            y_r = jnp.sum(CsT[:, r : r + 1] * h, axis=0, keepdims=True)
+            rows.append(y_r + Dv * u[r : r + 1, :])
+        y_ref[0, pl.ds(base, step), :] = jnp.concatenate(rows, axis=0)
+        return h
+
+    h = jax.lax.fori_loop(0, chunk // step, slab, h_st[:, :])
+    h_st[:, :] = h
+
+
+def _ckpt_kernel(dt_ref, u_ref, B_ref, A_ref, hck_ref, h_st,
+                 *, chunk: int, step: int, softplus: bool):
+    """Forward sweep that only records the hidden state at each chunk START
+    (the reverse kernel recomputes within-chunk states from these)."""
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_st[:] = jnp.zeros_like(h_st)
+
+    hck_ref[0, 0] = h_st[:, :]
+    A = A_ref[0]
+
+    def slab(i, h):
+        base = i * step
+        dt = dt_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        if softplus:
+            dt = jax.nn.softplus(dt)
+        u = u_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        dtu = dt * u
+        BsT = B_ref[0, pl.ds(base, step), :].astype(jnp.float32).T
+        for r in range(step):
+            h = jnp.exp(dt[r : r + 1, :] * A) * h \
+                + BsT[:, r : r + 1] * dtu[r : r + 1, :]
+        return h
+
+    h_st[:, :] = jax.lax.fori_loop(0, chunk // step, slab, h_st[:, :])
+
+
+def _bwd_kernel(dt_ref, u_ref, B_ref, C_ref, dy_ref, A_ref, hck_ref,
+                dus_ref, ddt_ref, dB_ref, dC_ref, dA_ref,
+                h_scr, g_st, an_st, dA_st,
+                *, chunk: int, step: int, softplus: bool, N: int):
+    """Reverse sweep (the grid's L axis walks chunks last-to-first via the
+    index maps): recompute h within the chunk from its checkpoint, then run
+    the adjoint recurrence g_l = C_l (x) dy_l + a_{l+1} g_{l+1} backward,
+    emitting every gradient as natural-(B,L,D)/(B,L,N)-sized outputs."""
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        g_st[:] = jnp.zeros_like(g_st)
+        an_st[:] = jnp.zeros_like(an_st)
+        dA_st[:] = jnp.zeros_like(dA_st)
+
+    A = A_ref[0]
+
+    # ---- forward recompute: h_scr[r] = state BEFORE row r ----
+    def slab_fwd(j, h):
+        base = j * step
+        dt = dt_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        if softplus:
+            dt = jax.nn.softplus(dt)
+        u = u_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        dtu = dt * u
+        BsT = B_ref[0, pl.ds(base, step), :].astype(jnp.float32).T
+        for r in range(step):
+            h_scr[pl.ds(base + r, 1)] = h[None]
+            h = jnp.exp(dt[r : r + 1, :] * A) * h \
+                + BsT[:, r : r + 1] * dtu[r : r + 1, :]
+        return h
+
+    jax.lax.fori_loop(0, chunk // step, slab_fwd, hck_ref[0, 0])
+
+    # ---- reverse adjoint walk ----
+    def slab_bwd(j, carry):
+        g, a_next = carry
+        # keep the offset in (k * step) form — Mosaic must statically prove
+        # sublane-dim slice offsets are multiples of 8
+        base = (chunk // step - 1 - j) * step
+        dt = dt_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        if softplus:
+            dt = jax.nn.softplus(dt)
+        u = u_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        dtu = dt * u
+        BsT = B_ref[0, pl.ds(base, step), :].astype(jnp.float32).T
+        CsT = C_ref[0, pl.ds(base, step), :].astype(jnp.float32).T
+        dy = dy_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+
+        dus_rows, ddt_rows, dB_cols, dC_cols = [], [], [], []
+        for r in range(step - 1, -1, -1):
+            h_prev = h_scr[pl.ds(base + r, 1)][0]          # (N, Cg)
+            a_r = jnp.exp(dt[r : r + 1, :] * A)
+            b_r = BsT[:, r : r + 1] * dtu[r : r + 1, :]
+            h_l = a_r * h_prev + b_r
+            g = CsT[:, r : r + 1] * dy[r : r + 1, :] + a_next * g
+            a_next = a_r
+            gha = g * h_prev * a_r                          # (N, Cg)
+            s = jnp.sum(g * BsT[:, r : r + 1], axis=0, keepdims=True)
+            dus_rows.append(dt[r : r + 1, :] * s)
+            ddt_rows.append(u[r : r + 1, :] * s
+                            + jnp.sum(gha * A, axis=0, keepdims=True))
+            dA_st[:, :] += gha * dt[r : r + 1, :]
+            dB_cols.append(jnp.sum(g * dtu[r : r + 1, :], axis=1,
+                                   keepdims=True))
+            dC_cols.append(jnp.sum(h_l * dy[r : r + 1, :], axis=1,
+                                   keepdims=True))
+
+        # rows were collected last-to-first; restore ascending order
+        dus_ref[0, pl.ds(base, step), :] = jnp.concatenate(dus_rows[::-1], 0)
+        ddt_ref[0, pl.ds(base, step), :] = jnp.concatenate(ddt_rows[::-1], 0)
+        dB_ref[0, pl.ds(base, step), :] = jnp.concatenate(dB_cols[::-1], 1).T
+        dC_ref[0, pl.ds(base, step), :] = jnp.concatenate(dC_cols[::-1], 1).T
+        return g, a_next
+
+    g, a_next = jax.lax.fori_loop(
+        0, chunk // step, slab_bwd, (g_st[:, :], an_st[:, :]))
+    g_st[:, :] = g
+    an_st[:, :] = a_next
+
+    @pl.when(li == pl.num_programs(1) - 1)
+    def _():
+        dA_ref[0] = dA_st[:, :]
+
+
+def _regrouped(u, delta, A, Bmat, Cmat, delta_bias):
+    """(B, L, G*Cg)/(B, L, G, N) operands -> per-(batch, group) layouts for
+    the kernels. The copies here are all natural-sized — N-times smaller
+    than anything the unfused paths materialise."""
+    B, L, Dch = u.shape
+    _, _, G, N = Bmat.shape
+    Cg = Dch // G
+
+    def regroup(t):
+        return (t.reshape(B, L, G, Cg).transpose(0, 2, 1, 3)
+                .reshape(B * G, L, Cg))
+
+    u2 = regroup(u)
+    dt2 = regroup(delta if delta_bias is None
+                  else delta.astype(jnp.float32)
+                  + delta_bias.astype(jnp.float32).reshape(1, 1, Dch))
+    B2 = Bmat.transpose(0, 2, 1, 3).reshape(B * G, L, N)
+    C2 = Cmat.transpose(0, 2, 1, 3).reshape(B * G, L, N)
+    A2 = A.astype(jnp.float32).reshape(G, Cg, N).transpose(0, 2, 1)  # (G,N,Cg)
+    return u2, dt2, B2, C2, A2, (B, L, Dch, G, Cg, N), regroup
+
+
+def _forward_impl(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+                  interpret):
+    u2, dt2, B2, C2, A2, (B, L, Dch, G, Cg, N), _ = _regrouped(
+        u, delta, A, Bmat, Cmat, delta_bias)
+    Dv = (D.astype(jnp.float32) if D is not None
+          else jnp.zeros((Dch,), jnp.float32)).reshape(G, 1, Cg)
+
+    chunk = _pick_chunk(L, Cg)
+    step = 8
+    while chunk % step:
+        step //= 2
+
+    kernel = functools.partial(_fwd_kernel, chunk=chunk, step=step,
+                               softplus=delta_softplus)
+    seq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, l, 0),
+                       memory_space=pltpu.VMEM)
+    seqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, l, 0),
+                        memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        kernel,
+        grid=(B * G, L // chunk),
+        in_specs=[
+            seq, seq, seqn, seqn,
+            pl.BlockSpec((1, N, Cg), lambda bg, l: (bg % G, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Cg), lambda bg, l: (bg % G, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=seq,
+        out_shape=jax.ShapeDtypeStruct((B * G, L, Cg), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N, Cg), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(dt2, u2, B2, C2, A2, Dv)
+
+    y = (y.reshape(B, G, L, Cg).transpose(0, 2, 1, 3).reshape(B, L, Dch))
+    return y.astype(u.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def selective_scan_fused(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
+                         delta_softplus=False, interpret=False):
+    """Same contract as ops.scan.selective_scan: u/delta (B, L, Dch),
+    A (Dch, N), Bmat/Cmat (B, L, G, N), D/delta_bias (Dch,).
+    Returns y (B, L, Dch) in u's dtype; fp32 internals. Forward AND
+    backward are fully fused Pallas kernels."""
+    return _forward_impl(u, delta, A, Bmat, Cmat, D, delta_bias,
+                         delta_softplus, interpret)
+
+
+def _fused_fwd(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+               interpret):
+    y = _forward_impl(u, delta, A, Bmat, Cmat, D, delta_bias,
+                      delta_softplus, interpret)
+    return y, (u, delta, A, Bmat, Cmat, D, delta_bias)
+
+
+def _fused_bwd(delta_softplus, interpret, res, gy):
+    u, delta, A, Bmat, Cmat, D, delta_bias = res
+    u2, dt2, B2, C2, A2, (B, L, Dch, G, Cg, N), regroup = _regrouped(
+        u, delta, A, Bmat, Cmat, delta_bias)
+    dy2 = regroup(gy.astype(jnp.float32))
+
+    chunk = _pick_chunk_bwd(L, Cg, N)
+    step = 8
+    while chunk % step:
+        step //= 2
+    Lc = L // chunk
+
+    seq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, l, 0),
+                       memory_space=pltpu.VMEM)
+    seqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, l, 0),
+                        memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((1, N, Cg), lambda bg, l: (bg % G, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ck_spec = pl.BlockSpec((1, 1, N, Cg), lambda bg, l: (bg, l, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    ck_kernel = functools.partial(_ckpt_kernel, chunk=chunk, step=step,
+                                  softplus=delta_softplus)
+    hck = pl.pallas_call(
+        ck_kernel,
+        grid=(B * G, Lc),
+        in_specs=[seq, seq, seqn, a_spec],
+        out_specs=ck_spec,
+        out_shape=jax.ShapeDtypeStruct((B * G, Lc, N, Cg), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N, Cg), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(dt2, u2, B2, A2)
+
+    # reverse-order index maps: grid step l processes chunk Lc-1-l
+    rseq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, Lc - 1 - l, 0),
+                        memory_space=pltpu.VMEM)
+    rseqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, Lc - 1 - l, 0),
+                         memory_space=pltpu.VMEM)
+    rck = pl.BlockSpec((1, 1, N, Cg), lambda bg, l: (bg, Lc - 1 - l, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    bw_kernel = functools.partial(_bwd_kernel, chunk=chunk, step=step,
+                                  softplus=delta_softplus, N=N)
+    dus, ddt2, dB2, dC2, dA2 = pl.pallas_call(
+        bw_kernel,
+        grid=(B * G, Lc),
+        in_specs=[rseq, rseq, rseqn, rseqn, rseq, a_spec, rck],
+        out_specs=(rseq, rseq, rseqn, rseqn,
+                   pl.BlockSpec((1, N, Cg), lambda bg, l: (bg, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * G, L, Cg), jnp.float32),
+            jax.ShapeDtypeStruct((B * G, L, Cg), jnp.float32),
+            jax.ShapeDtypeStruct((B * G, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((B * G, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((B * G, N, Cg), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, N, Cg), jnp.float32),
+            pltpu.VMEM((N, Cg), jnp.float32),
+            pltpu.VMEM((N, Cg), jnp.float32),
+            pltpu.VMEM((N, Cg), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(dt2, u2, B2, C2, dy2, A2, hck)
+
+    def ungroup(t):  # (B*G, L, Cg) -> (B, L, Dch)
+        return (t.reshape(B, G, L, Cg).transpose(0, 2, 1, 3)
+                .reshape(B, L, Dch))
+
+    gyf = gy.astype(jnp.float32)
+    uf = u.astype(jnp.float32)
+    du = ungroup(dus)
+    if D is not None:
+        du = du + gyf * D.astype(jnp.float32)
+        dD = jnp.sum(gyf * uf, axis=(0, 1)).astype(D.dtype)
+    else:
+        dD = None
+    ddt = ungroup(ddt2)
+    if delta_softplus:
+        dt_in = delta.astype(jnp.float32)
+        if delta_bias is not None:
+            dt_in = dt_in + delta_bias.astype(jnp.float32).reshape(1, 1, Dch)
+        ddt = ddt * jax.nn.sigmoid(dt_in)
+    ddelta_bias = (jnp.sum(ddt, axis=(0, 1)).astype(delta_bias.dtype)
+                   if delta_bias is not None else None)
+    dB = (dB2.reshape(B, G, L, N).transpose(0, 2, 1, 3)).astype(Bmat.dtype)
+    dC = (dC2.reshape(B, G, L, N).transpose(0, 2, 1, 3)).astype(Cmat.dtype)
+    dA = (jnp.sum(dA2.reshape(B, G, N, Cg), axis=0).transpose(0, 2, 1)
+          .reshape(Dch, N)).astype(A.dtype)
+    return (du.astype(u.dtype), ddt.astype(delta.dtype), dA, dB, dC, dD,
+            ddelta_bias)
+
+
+selective_scan_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -28,12 +28,15 @@ _IMPL = "auto"
 
 
 def set_scan_impl(name: str):
-    """Select the scan backend: 'auto' (pallas on TPU, xla elsewhere),
-    'xla' (associative scan) or 'pallas' (single-pass streaming kernel,
-    ops/pallas/scan.py — measured 15x faster than the associative path on
-    v5e at SS2D shapes: 6.6ms vs 99.7ms for B=4, L=4096, KD=192, N=16)."""
+    """Select the scan backend:
+    'auto'   — fused on TPU when supported, else chunked pallas, else xla;
+    'xla'    — associative scan (any backend, fully differentiable);
+    'pallas' — chunked streaming kernel (ops/pallas/scan.py), which still
+               materialises the N-expanded gates in HBM;
+    'fused'  — fully-fused kernel (ops/pallas/scan_fused.py): HBM only sees
+               natural-sized (B, L, D) operands in fwd AND bwd."""
     global _IMPL
-    assert name in ("auto", "xla", "pallas"), name
+    assert name in ("auto", "xla", "pallas", "fused"), name
     _IMPL = name
 
 
@@ -49,13 +52,32 @@ def _pallas_profitable(u, A) -> bool:
     return (bd * N) % 128 == 0
 
 
+def _fused_ok(u, Bmat) -> bool:
+    from .pallas.scan_fused import fused_supported
+
+    L, D = u.shape[1], u.shape[2]
+    G = Bmat.shape[2]
+    return fused_supported(L, D // G)
+
+
 def selective_scan_auto(*args, **kwargs):
     impl = _IMPL
     if impl == "auto":
         import jax as _jax
 
-        impl = "pallas" if (_jax.default_backend() == "tpu"
-                            and _pallas_profitable(args[0], args[2])) else "xla"
+        if _jax.default_backend() == "tpu":
+            if _fused_ok(args[0], args[3]):
+                impl = "fused"
+            elif _pallas_profitable(args[0], args[2]):
+                impl = "pallas"
+            else:
+                impl = "xla"
+        else:
+            impl = "xla"
+    if impl == "fused":
+        from .pallas.scan_fused import selective_scan_fused
+
+        return selective_scan_fused(*args, **kwargs)
     if impl == "pallas":
         from .pallas.scan import selective_scan_pallas
 

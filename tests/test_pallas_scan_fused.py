@@ -1,0 +1,106 @@
+"""Fully-fused Pallas selective scan (ops/pallas/scan_fused.py) vs the
+associative-scan reference — forward and the fused two-kernel backward,
+interpret mode on CPU. The bench tools exercise the compiled TPU path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smow_net_tpu.ops.pallas.scan_fused import selective_scan_fused
+from smow_net_tpu.ops.scan import selective_scan
+
+
+def _inputs(seed, b, L, Dch, N, G, bias=True, sp=True):
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.normal(size=(b, L, Dch)), jnp.float32)
+    # without softplus a negative raw dt makes exp(dt*A) > 1 and the
+    # recurrence grows exponentially over L — keep dt positive there so the
+    # comparison measures kernel parity, not amplified fp reordering
+    delta = jnp.asarray(rng.normal(size=(b, L, Dch)) * 0.5, jnp.float32)
+    if not sp:
+        delta = jnp.abs(delta)
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(Dch, N)), jnp.float32)) * 0.5
+    B = jnp.asarray(rng.normal(size=(b, L, G, N)), jnp.float32)
+    C = jnp.asarray(rng.normal(size=(b, L, G, N)), jnp.float32)
+    D = jnp.asarray(rng.normal(size=(Dch,)), jnp.float32)
+    db = jnp.asarray(rng.normal(size=(Dch,)) * 0.1, jnp.float32) if bias else None
+    return u, delta, A, B, C, D, db
+
+
+@pytest.mark.parametrize("b,L,Dch,N,G,sp,bias", [
+    (2, 64, 96, 16, 4, True, True),    # SS2D-like grouped config
+    (1, 64, 32, 8, 1, False, False),   # single group, no extras
+    (2, 48, 32, 16, 2, True, True),    # L with a non-power-of-two factor
+])
+def test_fused_forward_matches_reference(b, L, Dch, N, G, sp, bias):
+    u, delta, A, B, C, D, db = _inputs(0, b, L, Dch, N, G, bias, sp)
+    ref = selective_scan(u, delta, A, B, C, D, db, sp)
+    out = selective_scan_fused(u, delta, A, B, C, D, db, sp, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_forward_bf16():
+    u, delta, A, B, C, D, db = _inputs(3, 2, 64, 48, 16, 2)
+    ub, dtb = u.astype(jnp.bfloat16), delta.astype(jnp.bfloat16)
+    Bb, Cb = B.astype(jnp.bfloat16), C.astype(jnp.bfloat16)
+    ref = selective_scan(ub, dtb, A, Bb, Cb, D, db, True)
+    out = selective_scan_fused(ub, dtb, A, Bb, Cb, D, db, True, interpret=True)
+    err = np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)))
+    assert err / (np.max(np.abs(np.asarray(ref, np.float32))) + 1e-9) < 2e-2
+
+
+@pytest.mark.parametrize("b,L,Dch,N,G,sp,bias", [
+    (2, 64, 48, 16, 2, True, True),
+    (1, 96, 32, 8, 1, False, False),
+])
+def test_fused_grad_all_inputs(b, L, Dch, N, G, sp, bias):
+    """The fused checkpoint+reverse-sweep backward vs autodiff through the
+    associative scan: every differentiable input."""
+    u, delta, A, B, C, D, db = _inputs(7, b, L, Dch, N, G, bias, sp)
+    gy = jnp.asarray(np.random.default_rng(9).normal(size=(b, L, Dch)),
+                     jnp.float32)
+    args = (u, delta, A, B, C, D) + ((db,) if bias else ())
+    names = ("u", "delta", "A", "B", "C", "D", "bias")[: len(args)]
+
+    def run(fn, **kw):
+        out, vjp = jax.vjp(lambda *a: fn(*a, delta_softplus=sp, **kw), *args)
+        return out, vjp(gy)
+
+    out_f, grads_f = run(selective_scan_fused, interpret=True)
+    out_r, grads_r = run(selective_scan)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    for name, gf, gr in zip(names, grads_f, grads_r):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_fused_multi_chunk_grad():
+    """L spanning several kernel chunks exercises the cross-chunk adjoint
+    carry and the checkpoint plumbing (chunk forced small via big Cg)."""
+    import smow_net_tpu.ops.pallas.scan_fused as sf
+
+    orig_f, orig_b = sf._pick_chunk, sf._pick_chunk_bwd
+    sf._pick_chunk = lambda L, Cg, budget_bytes=0: 16
+    sf._pick_chunk_bwd = lambda L, Cg, N, budget_bytes=0: 16
+    try:
+        u, delta, A, B, C, D, db = _inputs(11, 1, 64, 16, 8, 1)
+        gy = jnp.asarray(np.random.default_rng(12).normal(size=(1, 64, 16)),
+                         jnp.float32)
+        args = (u, delta, A, B, C, D, db)
+        out_f, vjp_f = jax.vjp(
+            lambda *a: selective_scan_fused(*a, delta_softplus=True,
+                                            interpret=True), *args)
+        out_r, vjp_r = jax.vjp(
+            lambda *a: selective_scan(*a, delta_softplus=True), *args)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=1e-5, atol=1e-5)
+        for name, gf, gr in zip(("u", "delta", "A", "B", "C", "D", "bias"),
+                                vjp_f(gy), vjp_r(gy)):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
+    finally:
+        sf._pick_chunk, sf._pick_chunk_bwd = orig_f, orig_b

@@ -19,6 +19,12 @@ BS = int(_os.environ.get("MB_BS", "4"))
 SIZE = int(_os.environ.get("MB_SIZE", "128"))
 ITERS = int(_os.environ.get("MB_ITERS", "8"))
 REMAT = _os.environ.get("MB_REMAT", "0") == "1"
+# bf16 = the production mixed-precision recipe (train.py --bf16): bf16
+# compute, fp32 master params. The f32 mode keeps every conv/proj at
+# HIGHEST-precision MXU throughput (~6x slower), which can mask the scan
+# backend entirely.
+DTYPE = _os.environ.get("MB_DTYPE", "f32")
+_cd = jnp.bfloat16 if DTYPE == "bf16" else None
 
 model = get_model("change_mamba", use_checkpoint=REMAT)
 a = jnp.zeros((BS, SIZE, SIZE, 3), jnp.float32)
@@ -28,9 +34,14 @@ variables = model.init(jax.random.PRNGKey(0), a[:1, :64, :64], b[:1, :64, :64], 
 params, stats = variables["params"], variables.get("batch_stats", {})
 tx = optax.adamw(1e-4)
 opt_state = tx.init(params)
+if _cd is not None:
+    a = a.astype(_cd)
+    b = b.astype(_cd)
 
 
 def loss_fn(p, st, a, b, m):
+    if _cd is not None:
+        p = jax.tree_util.tree_map(lambda w: w.astype(_cd), p)
     out = model.apply({"params": p, "batch_stats": st}, a, b, train=False)
     logits = out[..., 0] if out.ndim == 4 else out
     return jnp.mean((jax.nn.sigmoid(logits.astype(jnp.float32)) - m) ** 2)
@@ -52,7 +63,9 @@ def run(p, o, a, b, m):
         lambda acc, x: acc + jnp.sum(jnp.abs(x[..., :1])), p, 0.0)
 
 
-for impl in ("pallas", "xla"):
+IMPLS = tuple(_os.environ.get("MB_IMPLS", "pallas,xla").split(","))
+
+for impl in IMPLS:
     set_scan_impl(impl)
     # fresh function object per impl so the jit cache cannot alias the two
     run_c = jax.jit(lambda p, o, a, b, m: run(p, o, a, b, m))

@@ -71,19 +71,24 @@ def main():
     bf = jnp.bfloat16
     r = jax.random.normal
     k = jax.random.PRNGKey
+    full = os.environ.get("PB_ONLY", "") != "ofw"
 
     x = r(k(0), (BS, 2, H, H, 3), bf)
-    timeit("resnet3d encoder", ResNet3D(), x)
+    if full:
+        timeit("resnet3d encoder", ResNet3D(), x)
 
     x0 = r(k(1), (BS, 2, H // 2, H // 2, 64), bf)
-    timeit("Conv3d reduce (64->32 @128)", BasicConv3d(32), x0)
+    if full:
+        timeit("Conv3d reduce (64->32 @128)", BasicConv3d(32), x0)
 
     x0r = r(k(2), (BS, 2, H // 2, H // 2, 32), bf)
-    timeit("OFW (flow conv + 2 warps)", OFW(32), x0r)
+    if full:
+        timeit("OFW (flow conv + 2 warps)", OFW(32), x0r)
 
     t4 = r(k(3), (BS, 4, H // 2, H // 2, 32), bf)
-    timeit("token transformer encoder", TokenTransformerEncoder(32), t4,
-           train_kw=False)
+    if full:
+        timeit("token transformer encoder", TokenTransformerEncoder(32), t4,
+               train_kw=False)
 
     class Decoder(nn.Module):
         @nn.compact
@@ -107,12 +112,14 @@ def main():
     f3 = r(k(6), (BS, 4, s // 8, s // 8, 128), bf)
     f4 = r(k(7), (BS, 4, s // 16, s // 16, 256), bf)
     x0l = r(k(8), (BS, 4, s, s, 32), bf)
-    timeit("3D U-Net decoder (5 stages)", Decoder(), f1, f2, f3, f4, x0l)
+    if full:
+        timeit("3D U-Net decoder (5 stages)", Decoder(), f1, f2, f3, f4, x0l)
 
     y = r(k(9), (BS, 4, s, s, 32), bf)
     m = r(k(10), (BS, 8, 128), bf)
-    timeit("pixel cross-attn decoder", PixelTransformerDecoder(128), y, m,
-           train_kw=False)
+    if full:
+        timeit("pixel cross-attn decoder", PixelTransformerDecoder(128), y, m,
+               train_kw=False)
 
     class Head(nn.Module):
         @nn.compact
@@ -122,7 +129,8 @@ def main():
             return nn.sigmoid(smow_shuffle(y, 2))
 
     yq = r(k(11), (BS, s, s, 128), bf)
-    timeit("classifier head + shuffle", Head(), yq, train_kw=False)
+    if full:
+        timeit("classifier head + shuffle", Head(), yq, train_kw=False)
 
     # the five trilinear T-lifts (2->4) on the skip maps
     class Lift(nn.Module):
@@ -136,7 +144,53 @@ def main():
     l2 = r(k(14), (BS, 2, s // 4, s // 4, 64), bf)
     l3 = r(k(15), (BS, 2, s // 8, s // 8, 128), bf)
     l4 = r(k(16), (BS, 2, s // 16, s // 16, 256), bf)
-    timeit("temporal lifts (x5)", Lift(), l0, l1, l2, l3, l4, train_kw=False)
+    if full:
+        timeit("temporal lifts (x5)", Lift(), l0, l1, l2, l3, l4, train_kw=False)
+
+    if os.environ.get("PB_OFW", "0") == "1":
+        from smow_net_tpu.nn.layers import Conv as LConv
+        from smow_net_tpu.nn.layers import batch_norm
+        from smow_net_tpu.ops.warp import flow_warp, grid_sample
+        from smow_net_tpu.ops.pallas.warp import grid_sample_pallas
+
+        class Down3(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                y = x
+                for i in range(3):
+                    y = LConv(32, 3, (1, 2, 2), 1, groups=32,
+                              name=f"down{i}_conv")(y)
+                    y = batch_norm(f"down{i}_bn")(y, use_running_average=True)
+                    y = nn.relu(y)
+                return y
+
+        timeit("  OFW/down convs (3 dw)", Down3(), x0r)
+
+        class LiftBack(nn.Module):
+            @nn.compact
+            def __call__(self, y):
+                return resize_linear(y, (2, s, s), (1, 2, 3),
+                                     align_corners=True)
+
+        yc = r(k(20), (BS, 2, s // 8, s // 8, 32), bf)
+        timeit("  OFW/trilinear lift", LiftBack(), yc, train_kw=False)
+
+        class FlowMake(nn.Module):
+            @nn.compact
+            def __call__(self, xy):
+                return LConv(2, 3, 1, 1, use_bias=False, name="flow_make")(xy)
+
+        xy = r(k(21), (BS, 2, s, s, 64), bf)
+        timeit("  OFW/flow conv 3x3x3", FlowMake(), xy, train_kw=False)
+
+        class Warp2(nn.Module):
+            @nn.compact
+            def __call__(self, x, flow):
+                return (flow_warp(x[:, 0], flow[:, 0]),
+                        flow_warp(x[:, 1], flow[:, 1]))
+
+        fl = r(k(22), (BS, 2, s, s, 2), bf)
+        timeit("  OFW/2 warps (auto)", Warp2(), x0r, fl, train_kw=False)
 
 
 if __name__ == "__main__":
