@@ -96,6 +96,15 @@ def conv(
             and kernel.shape[0] % 2 == 1 and stride[0] == 1
             and dilation[0] == 1 and pad[0] == kernel.shape[0] // 2):
         return _conv3d_decomposed(x, kernel, stride, pad, dilation, groups)
+    if (n == 3 and kernel.shape[0] == 1 and stride[0] == 1 and pad[0] == 0
+            and dilation[0] == 1):
+        # temporally-pointwise 3-D conv == batched 2-D conv over B*T frames
+        # (the reshape is a contiguous no-op); keeps XLA on its native 2-D
+        # TPU conv path instead of the generic 3-D lowering
+        B, T = x.shape[:2]
+        y = conv(x.reshape(B * T, *x.shape[2:]), kernel[0], stride[1:],
+                 pad[1:], dilation[1:], groups)
+        return y.reshape(B, T, *y.shape[1:])
     pads = [(p, p) for p in pad]
     return lax.conv_general_dilated(
         x,
@@ -130,6 +139,14 @@ def conv_transpose(
     pad = to_tuple(padding, n)
     opad = to_tuple(output_padding, n)
     ks = kernel.shape[:n]
+    if (n == 3 and ks[0] == 1 and stride[0] == 1 and pad[0] == 0
+            and opad[0] == 0):
+        # temporally-pointwise transposed conv (e.g. the decoder's
+        # (1,5,5)/(1,2,2) upsamplers) == batched 2-D transposed conv
+        B, T = x.shape[:2]
+        y = conv_transpose(x.reshape(B * T, *x.shape[2:]), kernel[0],
+                           stride[1:], pad[1:], opad[1:], groups)
+        return y.reshape(B, T, *y.shape[1:])
     pads = [(k - 1 - p, k - 1 - p + op) for k, p, op in zip(ks, pad, opad)]
     return lax.conv_general_dilated(
         x,
