@@ -20,17 +20,46 @@ from jax import lax
 __all__ = ["conv", "conv_transpose", "to_tuple", "causal_conv1d",
            "set_conv3d_impl"]
 
-# 3-D convs with a short temporal kernel can be rewritten exactly as kt
-# batched 2-D convs over (B*T) frames plus temporal shifts; whether that
-# beats XLA's native Conv3D lowering on TPU is measured by
-# tools/probe_conv3d.py. "auto" currently keeps the native lowering.
+# 3-D convs with a short temporal kernel admit two exact rewrites:
+#   "decomposed" — kt batched 2-D convs over (B*T) frames + temporal shifts
+#     (measured SLOWER than native on v5e, tools/probe_conv3d.py);
+#   "tdense"     — fold T into channels with a block-banded dense
+#     (kh, kw, T*Cin, T*Cout) 2-D kernel. Output lanes go from Cout (often
+#     32 = 25% of the MXU's 128) to T*Cout; measured 1.2-2.3x on v5e at
+#     the decoder shapes and FLOP-neutral at T=2 (tools/probe_conv3d_tfold.py).
+# "auto" uses tdense when the rewrite applies (unit temporal stride/dilation,
+# 'same' temporal padding, ungrouped, small T).
 _CONV3D_IMPL = "auto"
 
 
 def set_conv3d_impl(name: str):
-    assert name in ("auto", "xla", "decomposed"), name
+    assert name in ("auto", "xla", "decomposed", "tdense"), name
     global _CONV3D_IMPL
     _CONV3D_IMPL = name
+
+
+def _conv3d_tdense(x, kernel, stride, pad, dilation):
+    """Exact T-into-channels rewrite (see module comment). The extra
+    multiply-adds against the static zero blocks cost (T*kt - #bands)/T*kt
+    more FLOPs (T=4, kt=3: 1.6x; T=2: none) but run at full lane width."""
+    B, T, H, W, Cin = x.shape
+    kt, kh, kw, _, Cout = kernel.shape
+    half = kt // 2
+    K2 = jnp.zeros((kh, kw, T * Cin, T * Cout), kernel.dtype)
+    for to in range(T):
+        for dt in range(kt):
+            ti = to + dt - half
+            if 0 <= ti < T:
+                K2 = K2.at[:, :, ti * Cin:(ti + 1) * Cin,
+                           to * Cout:(to + 1) * Cout].set(kernel[dt])
+    xt = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * Cin)
+    y = lax.conv_general_dilated(
+        xt, K2, window_strides=stride,
+        padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+        rhs_dilation=dilation, dimension_numbers=_dim_numbers(2),
+        preferred_element_type=x.dtype)
+    Ho, Wo = y.shape[1], y.shape[2]
+    return y.reshape(B, Ho, Wo, T, Cout).transpose(0, 3, 1, 2, 4)
 
 
 def _conv3d_decomposed(x, kernel, stride, pad, dilation, groups):
@@ -96,6 +125,11 @@ def conv(
             and kernel.shape[0] % 2 == 1 and stride[0] == 1
             and dilation[0] == 1 and pad[0] == kernel.shape[0] // 2):
         return _conv3d_decomposed(x, kernel, stride, pad, dilation, groups)
+    if (n == 3 and _CONV3D_IMPL in ("auto", "tdense") and kernel.shape[0] > 1
+            and kernel.shape[0] % 2 == 1 and stride[0] == 1
+            and dilation[0] == 1 and pad[0] == kernel.shape[0] // 2
+            and groups == 1 and x.shape[1] <= 8):
+        return _conv3d_tdense(x, kernel, stride[1:], pad[1:], dilation[1:])
     if (n == 3 and kernel.shape[0] == 1 and stride[0] == 1 and pad[0] == 0
             and dilation[0] == 1):
         # temporally-pointwise 3-D conv == batched 2-D conv over B*T frames

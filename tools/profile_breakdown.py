@@ -71,7 +71,8 @@ def main():
     bf = jnp.bfloat16
     r = jax.random.normal
     k = jax.random.PRNGKey
-    full = os.environ.get("PB_ONLY", "") != "ofw"
+    only = os.environ.get("PB_ONLY", "")
+    full = only == ""
 
     x = r(k(0), (BS, 2, H, H, 3), bf)
     if full:
@@ -112,7 +113,7 @@ def main():
     f3 = r(k(6), (BS, 4, s // 8, s // 8, 128), bf)
     f4 = r(k(7), (BS, 4, s // 16, s // 16, 256), bf)
     x0l = r(k(8), (BS, 4, s, s, 32), bf)
-    if full:
+    if full or only == "dec":
         timeit("3D U-Net decoder (5 stages)", Decoder(), f1, f2, f3, f4, x0l)
 
     y = r(k(9), (BS, 4, s, s, 32), bf)
