@@ -190,13 +190,23 @@ class CrossAttentionBlock(nn.Module):
         q = Dense(inner, use_bias=False, name="to_q")(x)
         k = Dense(inner, use_bias=False, name="to_k")(m)
         v = Dense(inner, use_bias=False, name="to_v")(m)
+        scale = self.dim ** -0.5
+
+        if self.dim_head == 1:
+            # per-head dim 1 (the reference's dim_head=True quirk): the
+            # "attention" is an outer product over the few memory tokens —
+            # keep the (B, N, heads) layout so the 16k-pixel query tensor is
+            # never transposed; only the tiny (B, M, heads) memory moves.
+            dots = q[:, :, :, None] * k.transpose(0, 2, 1)[:, None] * scale
+            attn = jax.nn.softmax(dots, axis=-1)        # (B, N, h, M)
+            out = jnp.einsum("bnhj,bjh->bnh", attn, v)
+            return Dense(self.dim, name="to_out")(out)
 
         def heads(t):
             b, n, _ = t.shape
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scale = self.dim ** -0.5
         dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
         attn = jax.nn.softmax(dots, axis=-1)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
