@@ -197,9 +197,14 @@ class CrossAttentionBlock(nn.Module):
             # "attention" is an outer product over the few memory tokens —
             # keep the (B, N, heads) layout so the 16k-pixel query tensor is
             # never transposed; only the tiny (B, M, heads) memory moves.
-            dots = q[:, :, :, None] * k.transpose(0, 2, 1)[:, None] * scale
-            attn = jax.nn.softmax(dots, axis=-1)        # (B, N, h, M)
-            out = jnp.einsum("bnhj,bjh->bnh", attn, v)
+            # Everything is broadcast-multiply + lane reduction: an einsum
+            # here lowers to batched matmuls over the tiny h axis, which XLA
+            # pays for with full-tensor transposes (measured +4 ms).
+            kT = k.transpose(0, 2, 1)[:, None]          # (B, 1, h, M)
+            vT = v.transpose(0, 2, 1)[:, None]
+            dots = q[:, :, :, None] * kT * scale        # (B, N, h, M)
+            attn = jax.nn.softmax(dots, axis=-1)
+            out = jnp.sum(attn * vT, axis=-1)           # (B, N, h)
             return Dense(self.dim, name="to_out")(out)
 
         def heads(t):
