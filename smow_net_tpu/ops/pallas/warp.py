@@ -11,15 +11,16 @@ one-hot matrices instead of asking the VPU to gather:
   out[p, c] = sum_{i,j} w_i(p) u_j(p) x[y_i(p), x_j(p), c]
 
 Per tile of `tile_p` output pixels (grid = (B, P/tile_p)):
-  1. gather + vertically lerp both corner ROWS with ONE MXU matmul against
-     the folded one-hot M[h,p] = wy0(p)[h==y0(p)] + wy1(p)[h==y1(p)]:
-     v = x^T @ M  ((W*C, H) @ (H, tile_p)), fp32 accumulation;
-  2. build the small (W, tile_p) horizontal lerp mask on the VPU and expand
-     it to row layout (w -> w*C+c) with a constant 0/1 replication matmul
-     (building the (W*C, tile_p) mask directly was the kernel's VPU
-     bottleneck — 6 passes over a 32x-larger tile);
-  3. reduce the W axis by log2(W) static tensor-halving adds — lane
-     congruence mod C is preserved, so no lane-splitting reshape is needed.
+  1. build exact 0/1 one-hot row selectors OH_k[h, p] = (h == y_k[p]) and
+     gather both corner ROWS with two MXU matmuls
+     v_k = x^T @ OH_k  ((W*C, H) @ (H, tile_p)) — exact in any dtype since
+     each output sums exactly one nonzero product;
+  2. lerp the rows vertically in fp32;
+  3. select/lerp columns with a fused expanded weight mask
+     wh[w*C+c, p] = u_0(p)[w==x_0(p)] + u_1(p)[w==x_1(p)] (VPU, fp32);
+  4. reduce the W axis by log2(W) static tensor-halving adds — lane
+     congruence mod C is preserved, so no lane-splitting reshape and no
+     second matmul is needed.
 
 The whole input image (e.g. 128x128x32 bf16 = 1 MB) stays VMEM-resident
 across the pixel-tile grid axis. Corner gathers are bit-exact; the only
@@ -63,7 +64,7 @@ def _prec(dtype):
     return (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
 
 
-def _kernel(idxw_ref, xt_ref, rep_ref, out_ref, *, H: int, W: int, C: int):
+def _kernel(idxw_ref, xt_ref, out_ref, *, H: int, W: int, C: int):
     tp = out_ref.shape[-1]
     y0 = idxw_ref[0, 0:1, :]   # (1, tp) fp32, integer-valued
     y1 = idxw_ref[0, 1:2, :]
@@ -82,25 +83,18 @@ def _kernel(idxw_ref, xt_ref, rep_ref, out_ref, *, H: int, W: int, C: int):
     prec = _prec(xt.dtype)
     # fold the vertical lerp INTO the gather: one matmul against
     # M = wy0*OH0 + wy1*OH1 replaces two corner-row gathers + a VPU lerp
-    # (2x fewer MXU passes). Each output sums two products accumulated in
-    # fp32; for bf16 inputs the weights round to bf16 (~2^-9 rel, inside
-    # the output dtype's own ulp).
+    # (2x fewer MXU passes — this matmul is the kernel's dominant cost; the
+    # bwd kernel's wvt matmul uses the same folding). Each output sums two
+    # products accumulated in fp32; for bf16 inputs the weights round to
+    # bf16 (~2^-9 rel, inside the output dtype's own ulp).
     m = (wy0 * (ioh == y0.astype(jnp.int32))
          + wy1 * (ioh == y1.astype(jnp.int32))).astype(xt.dtype)
     v = jax.lax.dot_general(xt, m, dims, preferred_element_type=jnp.float32,
                             precision=prec)  # (W*C, tp) fp32, lerped rows
 
-    # horizontal lerp mask: building it directly at (W*C, tp) was the
-    # kernel's bottleneck (~6 VPU passes over a 32x-larger tile than the
-    # vertical mask); build the (W, tp) form instead and expand rows
-    # w -> w*C+c with the constant 0/1 replication matrix rep (VMEM-resident
-    # across the tile grid) on the MXU.
-    iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
-    fh = (wx0 * (iw == x0.astype(jnp.int32))
-          + wx1 * (iw == x1.astype(jnp.int32))).astype(rep_ref.dtype)
-    wh = jax.lax.dot_general(rep_ref[:, :], fh, dims,
-                             preferred_element_type=jnp.float32,
-                             precision=_prec(rep_ref.dtype))
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (W * C, tp), 0) // C
+    wh = (wx0 * (lane_w == x0.astype(jnp.int32))
+          + wx1 * (lane_w == x1.astype(jnp.int32)))
     t = v * wh
     # fold W down to C: halving adds keep lane index congruent mod C
     rows = W * C
@@ -110,7 +104,7 @@ def _kernel(idxw_ref, xt_ref, rep_ref, out_ref, *, H: int, W: int, C: int):
     out_ref[0] = t.astype(out_ref.dtype)
 
 
-def _bwd_kernel(idxw_ref, xt_ref, gt_ref, rep_ref, dxt_ref, dw_ref, *,
+def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
                 H: int, W: int, C: int):
     """Per pixel-tile: dx += Wv^T (Wh_exp . G_exp) (MXU, accumulated across
     the tile grid axis) and the four lerp-weight gradients
@@ -138,22 +132,10 @@ def _bwd_kernel(idxw_ref, xt_ref, gt_ref, rep_ref, dxt_ref, dw_ref, *,
     v1 = jax.lax.dot_general(xt, oh1, dims, preferred_element_type=jnp.float32,
                              precision=prec)
 
-    # expand the (W, tp) column one-hots to (W*C, tp) rows on the MXU via
-    # the constant replication matrix (same trick as the forward kernel —
-    # building these three masks directly at (W*C, tp) was VPU-bound)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
-    rep = rep_ref[:, :]
-    rprec = _prec(rep.dtype)
-
-    def expand(small):
-        return jax.lax.dot_general(rep, small.astype(rep.dtype), dims,
-                                   preferred_element_type=jnp.float32,
-                                   precision=rprec)
-
-    ohx0 = expand((iw == x0.astype(jnp.int32)).astype(jnp.float32))
-    ohx1 = expand((iw == x1.astype(jnp.int32)).astype(jnp.float32))
-    wh = expand(wx0 * (iw == x0.astype(jnp.int32))
-                + wx1 * (iw == x1.astype(jnp.int32)))  # (W*C, tp)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (W * C, tp), 0) // C
+    ohx0 = (lane_w == x0.astype(jnp.int32)).astype(jnp.float32)
+    ohx1 = (lane_w == x1.astype(jnp.int32)).astype(jnp.float32)
+    wh = wx0 * ohx0 + wx1 * ohx1                    # (W*C, tp)
 
     # G_exp[w*C+c, p] = g[c, p]: tile g over w via a 0/1 matmul
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 0) % C
@@ -220,13 +202,6 @@ def pallas_warp_supported(x_shape, grid_shape) -> bool:
     )
 
 
-def _rep_matrix(W, C, dtype):
-    """Constant 0/1 row-replication matrix rep[w*C+c, w'] = (w == w') used
-    to expand (W, tp) lerp masks to the (W*C, tp) row layout on the MXU."""
-    rows = jnp.arange(W * C) // C
-    return (rows[:, None] == jnp.arange(W)[None, :]).astype(dtype)
-
-
 def _corner_indices_weights(grid, H, W, padding_mode, align_corners):
     """Separable corner indices + lerp weights, (B, P) fp32 each.
 
@@ -270,7 +245,6 @@ def _forward(x, grid, padding_mode, align_corners, interpret=False):
     P = Hg * Wg
     idxw = _corner_indices_weights(grid, H, W, padding_mode, align_corners)
     xt = x.reshape(B, H, W * C).transpose(0, 2, 1)  # (B, W*C, H), w-major lanes
-    rep = _rep_matrix(W, C, x.dtype)
 
     kernel = functools.partial(_kernel, H=H, W=W, C=C)
     out = pl.pallas_call(
@@ -281,8 +255,6 @@ def _forward(x, grid, padding_mode, align_corners, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W * C, W), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, C, _TILE_P), lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM),
@@ -291,7 +263,7 @@ def _forward(x, grid, padding_mode, align_corners, interpret=False):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(idxw, xt, rep)
+    )(idxw, xt)
     return out.transpose(0, 2, 1).reshape(B, Hg, Wg, C)
 
 
@@ -321,7 +293,6 @@ def _bwd(padding_mode, align_corners, interpret, res, gy):
     gt = gy.reshape(B, P, C).transpose(0, 2, 1)
 
     kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C)
-    rep = _rep_matrix(W, C, x.dtype)
     dxt, dw = pl.pallas_call(
         kernel,
         grid=(B, P // _TILE_P),
@@ -331,8 +302,6 @@ def _bwd(padding_mode, align_corners, interpret, res, gy):
             pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, _TILE_P), lambda b, t: (b, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W * C, W), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -350,7 +319,7 @@ def _bwd(padding_mode, align_corners, interpret, res, gy):
             vmem_limit_bytes=_BWD_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(idxw, xt, gt, rep)
+    )(idxw, xt, gt)
 
     dx = dxt.transpose(0, 2, 1).reshape(B, H, W, C).astype(x.dtype)
     (dgrid,) = f_vjp(dw)
