@@ -71,9 +71,11 @@ class OFW(nn.Module):
         flow = Conv(2, 3, 1, 1, use_bias=False, name="flow_make")(
             jnp.concatenate([x, y], axis=-1)
         )  # (B, T, H, W, 2)
-        w1 = flow_warp(x[:, 0], flow[:, 0])
-        w2 = flow_warp(x[:, 1], flow[:, 1])
-        return jnp.stack([x[:, 0], w1, w2, x[:, 1]], axis=1)
+        # one batched warp over both frames: the (B, T) -> B*T reshape is a
+        # contiguous no-op and frame/flow pairing is preserved element-wise
+        w = flow_warp(x.reshape(B * T, H, W, C), flow.reshape(B * T, H, W, 2))
+        w = w.reshape(B, T, H, W, C)
+        return jnp.stack([x[:, 0], w[:, 0], w[:, 1], x[:, 1]], axis=1)
 
 
 class TokenTransformerEncoder(nn.Module):

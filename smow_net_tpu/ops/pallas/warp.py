@@ -49,7 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["grid_sample_pallas", "pallas_warp_supported"]
 
-_TILE_P = 128
+# 256 pixels per tile: per-program fixed overhead (dispatch, idxw loads,
+# output writes) was a measurable share of kernel time at 128; doubling the
+# tile halves program count and gives the MXU larger matmuls. VMEM limits
+# are raised accordingly (v5e has 128 MB).
+_TILE_P = 256
 # The backward kernel keeps ~10 (W*C, tile) fp32 temporaries live (one-hots,
 # lerps, expanded grads) plus the image and dx-accumulator blocks; at
 # tile=128 and W*C=4096 that needs ~18 MB of scoped VMEM (measured 17.96 MB
@@ -261,6 +265,7 @@ def _forward(x, grid, padding_mode, align_corners, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, C, P), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(idxw, xt)
