@@ -156,6 +156,11 @@ def bench_train(model):
 def main():
     from smow_net_tpu.models import get_model
 
+    conv3d = os.environ.get("BENCH_CONV3D")
+    if conv3d:
+        from smow_net_tpu.ops.convops import set_conv3d_impl
+
+        set_conv3d_impl(conv3d)
     model = get_model(MODEL)
     dt, flops = (bench_train if MODE == "train" else bench_infer)(model)
     pairs_per_sec = BATCH * ITERS / dt

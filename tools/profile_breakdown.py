@@ -118,7 +118,7 @@ def main():
 
     y = r(k(9), (BS, 4, s, s, 32), bf)
     m = r(k(10), (BS, 8, 128), bf)
-    if full:
+    if full or only == "xattn":
         timeit("pixel cross-attn decoder", PixelTransformerDecoder(128), y, m,
                train_kw=False)
 
