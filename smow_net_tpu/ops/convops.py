@@ -125,16 +125,15 @@ def conv(
             and kernel.shape[0] % 2 == 1 and stride[0] == 1
             and dilation[0] == 1 and pad[0] == kernel.shape[0] // 2):
         return _conv3d_decomposed(x, kernel, stride, pad, dilation, groups)
-    min_t = 2 if _CONV3D_IMPL == "tdense" else 3
     if (n == 3 and _CONV3D_IMPL in ("auto", "tdense") and kernel.shape[0] > 1
             and kernel.shape[0] % 2 == 1 and stride[0] == 1
             and dilation[0] == 1 and pad[0] == kernel.shape[0] // 2
-            and groups == 1 and min_t <= x.shape[1] <= 8):
-        # under "auto", T=2 is excluded: there the rewrite is FLOP-neutral
-        # and the standalone encoder probe measured the two activation
-        # transposes as a 1.8 ms loss (5.15 -> 7.00 ms on v5e); at T>=3 the
-        # lane-width win dominates (decoder 16.0 -> 7.6 ms). Explicit
-        # "tdense" forces the rewrite from T=2 up for in-model A/Bs.
+            and groups == 1 and 2 <= x.shape[1] <= 8):
+        # applies from T=2 up: a standalone encoder probe suggested the
+        # T=2 transposes were a 1.8 ms loss, but the in-model A/B said
+        # otherwise (617 vs 594 pairs/s full-forward with/without T=2
+        # folding) — XLA fuses the layout change into neighbours the
+        # standalone probe can't see. Decoder win at T=4: 16.0 -> 7.6 ms.
         return _conv3d_tdense(x, kernel, stride[1:], pad[1:], dilation[1:])
     if (n == 3 and kernel.shape[0] == 1 and stride[0] == 1 and pad[0] == 0
             and dilation[0] == 1):
