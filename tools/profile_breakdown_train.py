@@ -1,0 +1,122 @@
+"""Stage-by-stage fwd+bwd timing of SMOW_Net on TPU (bf16 compute, fp32
+params, batch 16, 256x256): value_and_grad through each stage standalone,
+in-graph loop methodology. Locates where the 2.4x bwd/fwd ratio lives."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import jax
+import jax.numpy as jnp
+
+BS = int(os.environ.get("PB_BS", "16"))
+SIZE = int(os.environ.get("PB_SIZE", "256"))
+ITERS = int(os.environ.get("PB_ITERS", "10"))
+PEAK = 197e12
+
+
+def timeit(label, module, *args, train_kw=True):
+    kw = {"train": True} if train_kw else {}
+    init_kw = {"train": False} if train_kw else {}
+    variables = module.init(jax.random.PRNGKey(0), *args, **init_kw)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def loss_fn(p, x0, rest):
+        p = jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), p)
+        vs = {"params": p}
+        mut = []
+        if stats:
+            vs["batch_stats"] = jax.tree_util.tree_map(
+                lambda s: s.astype(jnp.bfloat16), stats)
+            mut = ["batch_stats"]
+        out = module.apply(vs, x0, *rest, **kw, mutable=mut)
+        if mut:
+            out = out[0]
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves) * 1e-9
+
+    def loop(*xs):
+        def body(_, carry):
+            g = jax.grad(loss_fn)(params, xs[0] + carry.astype(xs[0].dtype),
+                                  xs[1:])
+            return sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                       for l in jax.tree_util.tree_leaves(g)).astype(
+                jnp.float32) * 1e-12
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+    c = jax.jit(loop).lower(*args).compile()
+    try:
+        cost = c.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+    float(c(*args))
+    t0 = time.perf_counter()
+    float(c(*args))
+    dt = time.perf_counter() - t0
+    ms = dt / ITERS * 1e3
+    mfu = flops * ITERS / dt / PEAK
+    print(f"{label:34s} {ms:8.2f} ms  {flops/1e9:8.1f} GF  mfu {mfu*100:5.1f}%",
+          flush=True)
+
+
+def main():
+    import flax.linen as nn
+
+    from smow_net_tpu.models.smow_net import (
+        OFW, ConvBlock23d, ConvTransBlock3d, PixelTransformerDecoder,
+        TokenTransformerEncoder)
+    from smow_net_tpu.nn.resnet3d import ResNet3D
+    from smow_net_tpu.ops.pooling import max_pool
+
+    H = SIZE
+    bf = jnp.bfloat16
+    r = jax.random.normal
+    k = jax.random.PRNGKey
+
+    x = r(k(0), (BS, 2, H, H, 3), bf)
+    timeit("resnet3d encoder", ResNet3D(), x)
+
+    x0r = r(k(2), (BS, 2, H // 2, H // 2, 32), bf)
+    timeit("OFW", OFW(32), x0r)
+
+    t4 = r(k(3), (BS, 4, H // 2, H // 2, 32), bf)
+    timeit("token transformer encoder", TokenTransformerEncoder(32), t4,
+           train_kw=False)
+
+    class Decoder(nn.Module):
+        @nn.compact
+        def __call__(self, f1, f2, f3, f4, x0, train=True):
+            y = max_pool(f4, (1, 2, 2), (1, 2, 2))
+            y = ConvTransBlock3d(256, name="C3DT1")(y, train)
+            y = ConvBlock23d(128, name="C3D1")(jnp.concatenate([y, f4], -1), train)
+            y = ConvTransBlock3d(128, name="C3DT2")(y, train)
+            y = ConvBlock23d(64, name="C3D2")(jnp.concatenate([y, f3], -1), train)
+            y = ConvTransBlock3d(64, name="C3DT3")(y, train)
+            y = ConvBlock23d(64, name="C3D3")(jnp.concatenate([y, f2], -1), train)
+            y = ConvTransBlock3d(64, name="C3DT4")(y, train)
+            y = ConvBlock23d(32, name="C3D4")(jnp.concatenate([y, f1], -1), train)
+            y = ConvTransBlock3d(32, name="C3DT5")(y, train)
+            y = ConvBlock23d(32, name="C3D5")(jnp.concatenate([y, x0], -1), train)
+            return y
+
+    s = H // 2
+    f1 = r(k(4), (BS, 4, s // 2, s // 2, 32), bf)
+    f2 = r(k(5), (BS, 4, s // 4, s // 4, 64), bf)
+    f3 = r(k(6), (BS, 4, s // 8, s // 8, 128), bf)
+    f4 = r(k(7), (BS, 4, s // 16, s // 16, 256), bf)
+    x0l = r(k(8), (BS, 4, s, s, 32), bf)
+    timeit("3D U-Net decoder (5 stages)", Decoder(), f1, f2, f3, f4, x0l)
+
+    y = r(k(9), (BS, 4, s, s, 32), bf)
+    m = r(k(10), (BS, 8, 128), bf)
+    timeit("pixel cross-attn decoder", PixelTransformerDecoder(128), y, m,
+           train_kw=False)
+
+
+if __name__ == "__main__":
+    main()
