@@ -54,6 +54,10 @@ __all__ = ["grid_sample_pallas", "pallas_warp_supported"]
 # tile halves program count and gives the MXU larger matmuls. VMEM limits
 # are raised accordingly (v5e has 128 MB).
 _TILE_P = 256
+# The backward kernel's ~10 live (W*C, tile) temporaries double with the
+# tile; train-step A/Bs favoured the smaller tile for the backward pass
+# while the forward keeps 256.
+_TILE_P_BWD = 128
 # The backward kernel keeps ~10 (W*C, tile) fp32 temporaries live (one-hots,
 # lerps, expanded grads) plus the image and dx-accumulator blocks; at
 # tile=128 and W*C=4096 that needs ~18 MB of scoped VMEM (measured 17.96 MB
@@ -300,19 +304,19 @@ def _bwd(padding_mode, align_corners, interpret, res, gy):
     kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C)
     dxt, dw = pl.pallas_call(
         kernel,
-        grid=(B, P // _TILE_P),
+        grid=(B, P // _TILE_P_BWD),
         in_specs=[
-            pl.BlockSpec((1, 8, _TILE_P), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, 8, _TILE_P_BWD), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, _TILE_P), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, C, _TILE_P_BWD), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, _TILE_P), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, 8, _TILE_P_BWD), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
