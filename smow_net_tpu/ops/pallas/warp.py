@@ -100,9 +100,13 @@ def _kernel(idxw_ref, xt_ref, out_ref, *, H: int, W: int, C: int):
     v = jax.lax.dot_general(xt, m, dims, preferred_element_type=jnp.float32,
                             precision=prec)  # (W*C, tp) fp32, lerped rows
 
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (W * C, tp), 0) // C
-    wh = (wx0 * (lane_w == x0.astype(jnp.int32))
-          + wx1 * (lane_w == x1.astype(jnp.int32)))
+    # horizontal lerp mask: build the (W, tp) form and broadcast each row
+    # C times along sublanes — the direct (W*C, tp) iota-compare build was
+    # ~6 VPU passes over a 32x-larger tile and dominated the kernel
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
+    fh = (wx0 * (iw == x0.astype(jnp.int32))
+          + wx1 * (iw == x1.astype(jnp.int32)))
+    wh = jnp.broadcast_to(fh[:, None, :], (W, C, tp)).reshape(W * C, tp)
     t = v * wh
     # fold W down to C: halving adds keep lane index congruent mod C
     rows = W * C
@@ -140,17 +144,24 @@ def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
     v1 = jax.lax.dot_general(xt, oh1, dims, preferred_element_type=jnp.float32,
                              precision=prec)
 
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (W * C, tp), 0) // C
-    ohx0 = (lane_w == x0.astype(jnp.int32)).astype(jnp.float32)
-    ohx1 = (lane_w == x1.astype(jnp.int32)).astype(jnp.float32)
-    wh = wx0 * ohx0 + wx1 * ohx1                    # (W*C, tp)
+    # small (W, tp) forms broadcast-expanded along sublanes (w -> w*C+c);
+    # the direct (W*C, tp) iota-compare builds were the kernel's VPU
+    # bottleneck, and the G expansion needs no matmul either — it is the
+    # same row pattern with c varying fastest
+    def expand(small):  # (W, tp) -> (W*C, tp), rows w*C+c
+        return jnp.broadcast_to(small[:, None, :], (W, C, tp)).reshape(
+            W * C, tp)
 
-    # G_exp[w*C+c, p] = g[c, p]: tile g over w via a 0/1 matmul
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 0) % C
-    col_c = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 1)
-    R = (lane_c == col_c).astype(gt.dtype)          # (W*C, C) constant
-    g_exp = jax.lax.dot_general(R, gt, dims, preferred_element_type=jnp.float32,
-                                precision=_prec(gt.dtype))
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
+    fx0 = (iw == x0.astype(jnp.int32)).astype(jnp.float32)
+    fx1 = (iw == x1.astype(jnp.int32)).astype(jnp.float32)
+    ohx0 = expand(fx0)
+    ohx1 = expand(fx1)
+    wh = expand(wx0 * fx0 + wx1 * fx1)              # (W*C, tp)
+
+    # G_exp[w*C+c, p] = g[c, p]: tile g over w by broadcasting sublanes
+    g_exp = jnp.broadcast_to(gt.astype(jnp.float32)[None, :, :],
+                             (W, C, tp)).reshape(W * C, tp)
 
     def fold(t):  # (W*C, tp) -> (C, tp), sum over w (lane-congruent halving)
         rows = W * C
