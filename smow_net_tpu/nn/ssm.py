@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cross_scan import cross_merge, cross_merge8, cross_scan, cross_scan8
-from ..ops.scan import selective_scan_auto
+from ..ops.scan import cross_selective_scan
 from ..utils import torch_init
 from .layers import Conv, Dense, gelu
 
@@ -111,14 +111,11 @@ class SS2D(nn.Module):
         dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w)
 
         L = H * W
-        u = xs.transpose(0, 2, 1, 3).reshape(B, L, K * Di)
-        delta = dts.transpose(0, 2, 1, 3).reshape(B, L, K * Di)
-        Bg = Bs.transpose(0, 2, 1, 3)                       # (B, L, K, N)
-        Cg = Cs.transpose(0, 2, 1, 3)
         A = -jnp.exp(A_logs.astype(jnp.float32))
-
-        y = selective_scan_auto(u, delta, A, Bg, Cg, Ds, dt_b.reshape(-1), delta_softplus=True)
-        ys = y.reshape(B, L, K, Di).transpose(0, 2, 1, 3)   # (B, K, L, Di)
+        # direction-major call: the fused kernel consumes (B, K, L, Di)
+        # directly (contiguous reshapes only — no layout transposes)
+        ys = cross_selective_scan(xs, dts, A, Bs, Cs, Ds, dt_b.reshape(-1),
+                                  delta_softplus=True)      # (B, K, L, Di)
         y = merge(ys, H, W)                                 # (B, L, Di)
         y = nn.LayerNorm(epsilon=1e-5, name="out_norm")(y).reshape(B, H, W, Di)
 

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["selective_scan_fused", "fused_supported"]
+__all__ = ["selective_scan_fused", "selective_scan_fused_grouped",
+           "fused_supported"]
 
 _VMEM_LIMIT = 64 * 1024 * 1024
 
@@ -225,6 +226,114 @@ def _bwd_kernel(dt_ref, u_ref, B_ref, C_ref, dy_ref, A_ref, hck_ref,
         dA_ref[0] = dA_st[:, :]
 
 
+def _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus, interpret):
+    """Forward pallas call on grouped (B*G, L, Cg) operands."""
+    BG, L, Cg, G, N = dims
+    chunk = _pick_chunk(L, Cg)
+    step = 8
+    while chunk % step:
+        step //= 2
+
+    kernel = functools.partial(_fwd_kernel, chunk=chunk, step=step,
+                               softplus=delta_softplus)
+    seq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, l, 0),
+                       memory_space=pltpu.VMEM)
+    seqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, l, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(BG, L // chunk),
+        in_specs=[
+            seq, seq, seqn, seqn,
+            pl.BlockSpec((1, N, Cg), lambda bg, l: (bg % G, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Cg), lambda bg, l: (bg % G, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=seq,
+        out_shape=jax.ShapeDtypeStruct((BG, L, Cg), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N, Cg), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(dt2, u2, B2, C2, A2, Dv)
+
+
+def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret):
+    """Checkpoint + reverse-sweep pallas calls on grouped operands.
+    Returns (dus, ddt2, dB2, dC2, dA2) in grouped layouts."""
+    BG, L, Cg, G, N = dims
+    chunk = _pick_chunk_bwd(L, Cg, N)
+    step = 8
+    while chunk % step:
+        step //= 2
+    Lc = L // chunk
+
+    seq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, l, 0),
+                       memory_space=pltpu.VMEM)
+    seqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, l, 0),
+                        memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((1, N, Cg), lambda bg, l: (bg % G, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ck_spec = pl.BlockSpec((1, 1, N, Cg), lambda bg, l: (bg, l, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    ck_kernel = functools.partial(_ckpt_kernel, chunk=chunk, step=step,
+                                  softplus=delta_softplus)
+    hck = pl.pallas_call(
+        ck_kernel,
+        grid=(BG, Lc),
+        in_specs=[seq, seq, seqn, a_spec],
+        out_specs=ck_spec,
+        out_shape=jax.ShapeDtypeStruct((BG, Lc, N, Cg), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N, Cg), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(dt2, u2, B2, A2)
+
+    # reverse-order index maps: grid step l processes chunk Lc-1-l
+    rseq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, Lc - 1 - l, 0),
+                        memory_space=pltpu.VMEM)
+    rseqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, Lc - 1 - l, 0),
+                         memory_space=pltpu.VMEM)
+    rck = pl.BlockSpec((1, 1, N, Cg), lambda bg, l: (bg, Lc - 1 - l, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    bw_kernel = functools.partial(_bwd_kernel, chunk=chunk, step=step,
+                                  softplus=delta_softplus, N=N)
+    return pl.pallas_call(
+        bw_kernel,
+        grid=(BG, Lc),
+        in_specs=[rseq, rseq, rseqn, rseqn, rseq, a_spec, rck],
+        out_specs=(rseq, rseq, rseqn, rseqn,
+                   pl.BlockSpec((1, N, Cg), lambda bg, l: (bg, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((BG, L, Cg), jnp.float32),
+            jax.ShapeDtypeStruct((BG, L, Cg), jnp.float32),
+            jax.ShapeDtypeStruct((BG, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((BG, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((BG, N, Cg), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, N, Cg), jnp.float32),
+            pltpu.VMEM((N, Cg), jnp.float32),
+            pltpu.VMEM((N, Cg), jnp.float32),
+            pltpu.VMEM((N, Cg), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(dt2, u2, B2, C2, dy2, A2, hck)
+
+
 def _regrouped(u, delta, A, Bmat, Cmat, delta_bias):
     """(B, L, G*Cg)/(B, L, G, N) operands -> per-(batch, group) layouts for
     the kernels. The copies here are all natural-sized — N-times smaller
@@ -253,38 +362,8 @@ def _forward_impl(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
         u, delta, A, Bmat, Cmat, delta_bias)
     Dv = (D.astype(jnp.float32) if D is not None
           else jnp.zeros((Dch,), jnp.float32)).reshape(G, 1, Cg)
-
-    chunk = _pick_chunk(L, Cg)
-    step = 8
-    while chunk % step:
-        step //= 2
-
-    kernel = functools.partial(_fwd_kernel, chunk=chunk, step=step,
-                               softplus=delta_softplus)
-    seq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, l, 0),
-                       memory_space=pltpu.VMEM)
-    seqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, l, 0),
-                        memory_space=pltpu.VMEM)
-    y = pl.pallas_call(
-        kernel,
-        grid=(B * G, L // chunk),
-        in_specs=[
-            seq, seq, seqn, seqn,
-            pl.BlockSpec((1, N, Cg), lambda bg, l: (bg % G, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Cg), lambda bg, l: (bg % G, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=seq,
-        out_shape=jax.ShapeDtypeStruct((B * G, L, Cg), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((N, Cg), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(dt2, u2, B2, C2, A2, Dv)
-
+    y = _fwd_core(dt2, u2, B2, C2, A2, Dv, (B * G, L, Cg, G, N),
+                  delta_softplus, interpret)
     y = (y.reshape(B, G, L, Cg).transpose(0, 2, 1, 3).reshape(B, L, Dch))
     return y.astype(u.dtype)
 
@@ -313,73 +392,9 @@ def _fused_bwd(delta_softplus, interpret, res, gy):
         u, delta, A, Bmat, Cmat, delta_bias)
     dy2 = regroup(gy.astype(jnp.float32))
 
-    chunk = _pick_chunk_bwd(L, Cg, N)
-    step = 8
-    while chunk % step:
-        step //= 2
-    Lc = L // chunk
-
-    seq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, l, 0),
-                       memory_space=pltpu.VMEM)
-    seqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, l, 0),
-                        memory_space=pltpu.VMEM)
-    a_spec = pl.BlockSpec((1, N, Cg), lambda bg, l: (bg % G, 0, 0),
-                          memory_space=pltpu.VMEM)
-    ck_spec = pl.BlockSpec((1, 1, N, Cg), lambda bg, l: (bg, l, 0, 0),
-                           memory_space=pltpu.VMEM)
-
-    ck_kernel = functools.partial(_ckpt_kernel, chunk=chunk, step=step,
-                                  softplus=delta_softplus)
-    hck = pl.pallas_call(
-        ck_kernel,
-        grid=(B * G, Lc),
-        in_specs=[seq, seq, seqn, a_spec],
-        out_specs=ck_spec,
-        out_shape=jax.ShapeDtypeStruct((B * G, Lc, N, Cg), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((N, Cg), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(dt2, u2, B2, A2)
-
-    # reverse-order index maps: grid step l processes chunk Lc-1-l
-    rseq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, Lc - 1 - l, 0),
-                        memory_space=pltpu.VMEM)
-    rseqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, Lc - 1 - l, 0),
-                         memory_space=pltpu.VMEM)
-    rck = pl.BlockSpec((1, 1, N, Cg), lambda bg, l: (bg, Lc - 1 - l, 0, 0),
-                       memory_space=pltpu.VMEM)
-
-    bw_kernel = functools.partial(_bwd_kernel, chunk=chunk, step=step,
-                                  softplus=delta_softplus, N=N)
-    dus, ddt2, dB2, dC2, dA2 = pl.pallas_call(
-        bw_kernel,
-        grid=(B * G, Lc),
-        in_specs=[rseq, rseq, rseqn, rseqn, rseq, a_spec, rck],
-        out_specs=(rseq, rseq, rseqn, rseqn,
-                   pl.BlockSpec((1, N, Cg), lambda bg, l: (bg, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(
-            jax.ShapeDtypeStruct((B * G, L, Cg), jnp.float32),
-            jax.ShapeDtypeStruct((B * G, L, Cg), jnp.float32),
-            jax.ShapeDtypeStruct((B * G, L, N), jnp.float32),
-            jax.ShapeDtypeStruct((B * G, L, N), jnp.float32),
-            jax.ShapeDtypeStruct((B * G, N, Cg), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((chunk, N, Cg), jnp.float32),
-            pltpu.VMEM((N, Cg), jnp.float32),
-            pltpu.VMEM((N, Cg), jnp.float32),
-            pltpu.VMEM((N, Cg), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(dt2, u2, B2, C2, dy2, A2, hck)
+    dus, ddt2, dB2, dC2, dA2 = _bwd_core(
+        dt2, u2, B2, C2, dy2, A2, (B * G, L, Cg, G, N), delta_softplus,
+        interpret)
 
     def ungroup(t):  # (B*G, L, Cg) -> (B, L, Dch)
         return (t.reshape(B, G, L, Cg).transpose(0, 2, 1, 3)
@@ -410,3 +425,91 @@ def _fused_bwd(delta_softplus, interpret, res, gy):
 
 
 selective_scan_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Grouped-layout entry: SS2D produces (B, K, L, D) direction-major tensors;
+# feeding them to the standard contract costs two full-tensor transposes that
+# the kernel regrouping immediately undoes. This wrapper takes the grouped
+# layout directly — every reshape below is contiguous (free).
+# ---------------------------------------------------------------------------
+
+
+def _grouped_args(xs, dts, A, Bs, Cs, delta_bias):
+    B, K, L, D = xs.shape
+    N = Bs.shape[-1]
+    u2 = xs.reshape(B * K, L, D)
+    if delta_bias is not None:
+        dts = (dts.astype(jnp.float32)
+               + delta_bias.astype(jnp.float32).reshape(1, K, 1, D))
+    dt2 = dts.reshape(B * K, L, D)
+    B2 = Bs.reshape(B * K, L, N)
+    C2 = Cs.reshape(B * K, L, N)
+    A2 = A.astype(jnp.float32).reshape(K, D, N).transpose(0, 2, 1)  # (K,N,D)
+    return u2, dt2, B2, C2, A2, (B, K, L, D, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def selective_scan_fused_grouped(xs, dts, A, Bs, Cs, D=None, delta_bias=None,
+                                 delta_softplus=False, interpret=False):
+    """Direction-major contract: xs/dts (B, K, L, Dk), Bs/Cs (B, K, L, N),
+    A/D/delta_bias flattened over (K*Dk). Returns ys (B, K, L, Dk)."""
+    return _grouped_forward(xs, dts, A, Bs, Cs, D, delta_bias,
+                            delta_softplus, interpret)
+
+
+def _grouped_forward(xs, dts, A, Bs, Cs, D, delta_bias, delta_softplus,
+                     interpret):
+    u2, dt2, B2, C2, A2, (B, K, L, Dk, N) = _grouped_args(
+        xs, dts, A, Bs, Cs, delta_bias)
+    Dv = (D.astype(jnp.float32) if D is not None
+          else jnp.zeros((K * Dk,), jnp.float32)).reshape(K, 1, Dk)
+    y = _fwd_core(dt2, u2, B2, C2, A2, Dv, (B * K, L, Dk, K, N),
+                  delta_softplus, interpret)
+    return y.reshape(B, K, L, Dk).astype(xs.dtype)
+
+
+def _grouped_fwd(xs, dts, A, Bs, Cs, D, delta_bias, delta_softplus,
+                 interpret):
+    y = _grouped_forward(xs, dts, A, Bs, Cs, D, delta_bias, delta_softplus,
+                         interpret)
+    return y, (xs, dts, A, Bs, Cs, D, delta_bias)
+
+
+def _grouped_bwd(delta_softplus, interpret, res, gy):
+    xs, dts, A, Bs, Cs, D, delta_bias = res
+    u2, dt2, B2, C2, A2, (B, K, L, Dk, N) = _grouped_args(
+        xs, dts, A, Bs, Cs, delta_bias)
+    dy2 = gy.astype(jnp.float32).reshape(B * K, L, Dk)
+
+    dus, ddt2, dB2, dC2, dA2 = _bwd_core(
+        dt2, u2, B2, C2, dy2, A2, (B * K, L, Dk, K, N), delta_softplus,
+        interpret)
+
+    gyf = gy.astype(jnp.float32)
+    uf = xs.astype(jnp.float32)
+    du = dus.reshape(B, K, L, Dk)
+    if D is not None:
+        du = du + gyf * D.astype(jnp.float32).reshape(1, K, 1, Dk)
+        dD = jnp.sum(gyf * uf, axis=(0, 2)).reshape(K * Dk).astype(D.dtype)
+    else:
+        dD = None
+    ddt = ddt2.reshape(B, K, L, Dk)
+    if delta_softplus:
+        dt_in = dts.astype(jnp.float32)
+        if delta_bias is not None:
+            dt_in = dt_in + delta_bias.astype(jnp.float32).reshape(
+                1, K, 1, Dk)
+        ddt = ddt * jax.nn.sigmoid(dt_in)
+    ddelta_bias = (jnp.sum(ddt, axis=(0, 2)).reshape(K * Dk)
+                   .astype(delta_bias.dtype)
+                   if delta_bias is not None else None)
+    dB = dB2.reshape(B, K, L, N).astype(Bs.dtype)
+    dC = dC2.reshape(B, K, L, N).astype(Cs.dtype)
+    dA = (jnp.sum(dA2.reshape(B, K, N, Dk), axis=0).transpose(0, 2, 1)
+          .reshape(K * Dk, N)).astype(A.dtype)
+    return (du.astype(xs.dtype), ddt.astype(dts.dtype), dA, dB, dC, dD,
+            ddelta_bias)
+
+
+selective_scan_fused_grouped.defvjp(_grouped_fwd, _grouped_bwd)

@@ -22,7 +22,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["selective_scan", "set_scan_impl", "selective_scan_auto"]
+__all__ = ["selective_scan", "set_scan_impl", "selective_scan_auto",
+           "cross_selective_scan"]
 
 _IMPL = "auto"
 
@@ -128,3 +129,33 @@ def selective_scan(
     if D is not None:
         y = y + uf * D.astype(jnp.float32)
     return y.astype(u.dtype)
+
+
+def cross_selective_scan(xs, dts, A, Bs, Cs, Ds=None, dt_bias=None,
+                         delta_softplus=True):
+    """Direction-major selective scan: xs/dts (B, K, L, Dk), Bs/Cs
+    (B, K, L, N); A/Ds/dt_bias flattened over (K*Dk). Returns (B, K, L, Dk).
+
+    When the fused kernel handles the shape (TPU default), the grouped
+    layout feeds it directly — every reshape is contiguous, removing the
+    four full-tensor transposes the flat (B, L, K*Dk) contract would cost
+    around each SS2D call. Other backends flatten and route through
+    selective_scan_auto."""
+    B, K, L, Dk = xs.shape
+    impl = _IMPL
+    if impl in ("auto", "fused"):
+        import jax as _jax
+
+        from .pallas.scan_fused import (fused_supported,
+                                        selective_scan_fused_grouped)
+
+        if ((impl == "fused" or _jax.default_backend() == "tpu")
+                and fused_supported(L, Dk)):
+            return selective_scan_fused_grouped(
+                xs, dts, A, Bs, Cs, Ds, dt_bias, delta_softplus)
+    u = xs.transpose(0, 2, 1, 3).reshape(B, L, K * Dk)
+    delta = dts.transpose(0, 2, 1, 3).reshape(B, L, K * Dk)
+    y = selective_scan_auto(u, delta, A, Bs.transpose(0, 2, 1, 3),
+                            Cs.transpose(0, 2, 1, 3), Ds, dt_bias,
+                            delta_softplus=delta_softplus)
+    return y.reshape(B, L, K, Dk).transpose(0, 2, 1, 3)
