@@ -200,5 +200,7 @@ class SMOWNet(nn.Module):
 
         y = PixelTransformerDecoder(128, name="Transformer_Decoder")(y, tokens)
         y = Conv(4, 1, use_bias=False, name="classifier_conv")(y)
-        y = smow_shuffle(y, 2)
-        return nn.sigmoid(y)
+        # sigmoid before the sub-pixel shuffle (elementwise, commutes with the
+        # permutation): the post-shuffle tensor is (B, 2H, 2W, 1) whose 1-wide
+        # feature axis wastes 127/128 VPU lanes — measured 10x on v5e
+        return smow_shuffle(nn.sigmoid(y), 2)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["conv", "conv_transpose", "to_tuple", "causal_conv1d",
-           "set_conv3d_impl"]
+           "set_conv3d_impl", "tdense_kernel"]
 
 # 3-D convs with a short temporal kernel admit two exact rewrites:
 #   "decomposed" — kt batched 2-D convs over (B*T) frames + temporal shifts
@@ -38,12 +38,12 @@ def set_conv3d_impl(name: str):
     _CONV3D_IMPL = name
 
 
-def _conv3d_tdense(x, kernel, stride, pad, dilation):
-    """Exact T-into-channels rewrite (see module comment). The extra
-    multiply-adds against the static zero blocks cost (T*kt - #bands)/T*kt
-    more FLOPs (T=4, kt=3: 1.6x; T=2: none) but run at full lane width."""
-    B, T, H, W, Cin = x.shape
-    kt, kh, kw, _, Cout = kernel.shape
+def tdense_kernel(kernel: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Block-banded T-folded kernel: (kt, kh, kw, Cin, Cout) ->
+    (kh, kw, T*Cin, T*Cout) so a temporal-kernel 3-D conv runs as ONE 2-D
+    conv on frame-major-folded (B, H, W, T*C) activations (unit temporal
+    stride/dilation, 'same' temporal padding)."""
+    kt, kh, kw, Cin, Cout = kernel.shape
     half = kt // 2
     K2 = jnp.zeros((kh, kw, T * Cin, T * Cout), kernel.dtype)
     for to in range(T):
@@ -52,6 +52,16 @@ def _conv3d_tdense(x, kernel, stride, pad, dilation):
             if 0 <= ti < T:
                 K2 = K2.at[:, :, ti * Cin:(ti + 1) * Cin,
                            to * Cout:(to + 1) * Cout].set(kernel[dt])
+    return K2
+
+
+def _conv3d_tdense(x, kernel, stride, pad, dilation):
+    """Exact T-into-channels rewrite (see module comment). The extra
+    multiply-adds against the static zero blocks cost (T*kt - #bands)/T*kt
+    more FLOPs (T=4, kt=3: 1.6x; T=2: none) but run at full lane width."""
+    B, T, H, W, Cin = x.shape
+    kt, kh, kw, _, Cout = kernel.shape
+    K2 = tdense_kernel(kernel, T)
     xt = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * Cin)
     y = lax.conv_general_dilated(
         xt, K2, window_strides=stride,
@@ -121,6 +131,16 @@ def conv(
     stride = to_tuple(stride, n)
     dilation = to_tuple(dilation, n)
     pad = to_tuple(padding, n)
+    if (all(k == 1 for k in kernel.shape[:n]) and all(p == 0 for p in pad)
+            and groups == 1):
+        # pointwise conv == matmul over the feature axis. Measured on v5e:
+        # the conv_general lowering of a 1x1 costs ~4.5x more than the
+        # equivalent matmul (layout conversions around the conv op); this
+        # path also covers strided 1x1 downsamples via pre-slicing.
+        if any(s != 1 for s in stride):
+            ix = tuple(slice(None, None, s) for s in stride)
+            x = x[(slice(None),) + ix]
+        return jnp.matmul(x, kernel.reshape(kernel.shape[-2], kernel.shape[-1]))
     if (n == 3 and _CONV3D_IMPL == "decomposed" and kernel.shape[0] > 1
             and kernel.shape[0] % 2 == 1 and stride[0] == 1
             and dilation[0] == 1 and pad[0] == kernel.shape[0] // 2):
