@@ -7,10 +7,16 @@ transformer encoder, a 3D U-Net decoder with cyclic temporal-mixing
 transposed convs, a cross-attention transformer decoder over (H*W) queries,
 and a sub-pixel classifier head.
 
-Layouts are channels-last (B, T, H, W, C); all resizes run as MXU matmuls
-(static shapes) and the warp is a batched XLA gather (Pallas variant in
-ops/pallas). Unlike the reference, nothing is hard-coded to 256x256 input —
-sizes are derived from the traced shapes.
+Layouts are channels-last and, since round 2, **T-folded**: the encoder,
+skip reduces, temporal lifts and the whole 3D U-Net decoder keep activations
+as (B, H, W, T*C) (frame-major channels). Every temporally-dense conv then
+runs as one block-banded 2-D conv with NO transpose sandwich, the temporal
+mixers are single full-width matmuls, and BatchNorm sees frames through a
+free (B,H,W,T,C) reshape — measured 2.4x on the big decoder convs (v5e).
+The OFW warp and token attention run per-frame (unfolded); resizes are MXU
+matmuls; the warp is a Pallas one-hot-matmul kernel (ops/pallas/warp.py).
+Unlike the reference, nothing is hard-coded to 256x256 input — sizes are
+derived from the traced shapes.
 """
 
 from __future__ import annotations
@@ -19,8 +25,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..nn.layers import Conv, ConvTranspose, CrossTransformerLayer, TransformerLayer, batch_norm
-from ..nn.resnet3d import ResNet3D
+from ..nn.layers import Conv, ConvParams, CrossTransformerLayer, TransformerLayer, batch_norm
+from ..nn.resnet3d import ResNet3D, unfold_t, fold_t
+from ..ops import convops
 from ..ops.pixel_shuffle import smow_shuffle
 from ..ops.pooling import max_pool
 from ..ops.resize import resize_linear
@@ -30,19 +37,59 @@ from .temporal import CyclicTemporalMix
 __all__ = ["SMOWNet", "OFW", "TokenTransformerEncoder", "PixelTransformerDecoder"]
 
 
+def _bn_folded(bn: nn.Module, y: jnp.ndarray, train: bool, T: int) -> jnp.ndarray:
+    B, H, W, TC = y.shape
+    z = y.reshape(B, H, W, T, TC // T)
+    z = bn(z, use_running_average=not train)
+    return z.reshape(B, H, W, TC)
+
+
+def _cat_folded(a: jnp.ndarray, b: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Per-frame channel concat of two T-folded tensors."""
+    B, H, W, _ = a.shape
+    za = a.reshape(B, H, W, T, -1)
+    zb = b.reshape(B, H, W, T, -1)
+    return jnp.concatenate([za, zb], axis=-1).reshape(B, H, W, -1)
+
+
+def _lift24_folded(v: jnp.ndarray) -> jnp.ndarray:
+    """Temporal lift T=2 -> T=4 (trilinear, align_corners=True) on a folded
+    tensor: frames [F0, 2/3 F0 + 1/3 F1, 1/3 F0 + 2/3 F1, F1] — exactly the
+    reference's F.interpolate weights (models/SMOW_Net.py:64-73), computed as
+    lane-wide lerps with no transpose."""
+    C = v.shape[-1] // 2
+    f0 = v[..., :C]
+    f1 = v[..., C:]
+    c = 1.0 / 3.0
+    m1 = (f0 * (1 - c) + f1 * c).astype(v.dtype)
+    m2 = (f0 * c + f1 * (1 - c)).astype(v.dtype)
+    return jnp.concatenate([f0, m1, m2, f1], axis=-1)
+
+
 class BasicConv3d(nn.Module):
-    """Conv3d + BN + ReLU (reference BasicConv3d, models/SMOW_Net.py:411-423)."""
+    """Conv3d + BN + ReLU (reference BasicConv3d, models/SMOW_Net.py:411-423).
+    Accepts (B,T,H,W,C) or T-folded (B,H,W,T*C) (pointwise convs only)."""
 
     features: int
     kernel_size: int = 1
     stride: int = 1
     padding: int = 0
+    temporal: int = 2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        y = Conv(self.features, self.kernel_size, self.stride, self.padding, name="conv")(x)
-        y = batch_norm()(y, use_running_average=not train)
-        return nn.relu(y)
+        if x.ndim == 5:
+            y = Conv(self.features, self.kernel_size, self.stride, self.padding, name="conv")(x)
+            y = batch_norm()(y, use_running_average=not train)
+            return nn.relu(y)
+        assert self.kernel_size == 1 and self.stride == 1 and self.padding == 0
+        T = self.temporal
+        B, H, W, TC = x.shape
+        kernel, bias = ConvParams((1, 1, 1, TC // T, self.features), name="conv")()
+        z = x.reshape(B, H, W, T, TC // T)
+        z = jnp.matmul(z, kernel[0, 0, 0].astype(z.dtype)) + bias.astype(z.dtype)
+        z = batch_norm()(z, use_running_average=not train)
+        return nn.relu(z).reshape(B, H, W, T * self.features)
 
 
 class OFW(nn.Module):
@@ -111,17 +158,27 @@ class TokenTransformerEncoder(nn.Module):
 class PixelTransformerDecoder(nn.Module):
     """Cross-attention of (H*W) pixel queries vs token memory (reference
     Transformer_Decoder, models/SMOW_Net.py:270-283). Input (B, 4, H, W, C)
-    is flattened to (B, H*W, C*T) with channel-major order (torch
-    `view(b, c*t, h, w)` semantics)."""
+    — or T-folded (B, H, W, 4*C) with `folded_input` — is flattened to
+    (B, H*W, C*T) with channel-major order (torch `view(b, c*t, h, w)`
+    semantics)."""
 
     in_chan: int = 128
     heads: int = 8
+    folded_input: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-        B, T, H, W, C = x.shape
-        # (B,T,H,W,C) -> (B,H,W,C,T) -> (B, H*W, C*T): feature idx = c*T + t
-        q = x.transpose(0, 2, 3, 4, 1).reshape(B, H * W, C * T)
+        if self.folded_input:
+            B, H, W, TC = x.shape
+            T = 4
+            C = TC // T
+            # t-major folded channels -> c-major features: a lane-local
+            # (T, C) swap, the only layout change between decoder and head
+            q = x.reshape(B, H * W, T, C).transpose(0, 1, 3, 2).reshape(B, H * W, C * T)
+        else:
+            B, T, H, W, C = x.shape
+            # (B,T,H,W,C) -> (B,H,W,C,T) -> (B, H*W, C*T): feature idx = c*T + t
+            q = x.transpose(0, 2, 3, 4, 1).reshape(B, H * W, C * T)
         q = CrossTransformerLayer(
             self.in_chan, self.heads, dim_head=1, mlp_dim=self.in_chan * 2, name="layer0"
         )(q, m)
@@ -132,7 +189,10 @@ class ConvTransBlock3d(nn.Module):
     """Spatial ConvTranspose (x2 upsample) + cyclic temporal 1x1x1 mixing over
     T=4 + BN + LeakyReLU(0.2) (reference conv_trans_block_3d,
     models/SMOW_Net.py:104-139). frame_j_out = id_mix(F_j) + mix_{j+1}(F_{j+1})
-    cyclically, with id_mix identity-init and mix_i zero-init."""
+    cyclically, with id_mix identity-init and mix_i zero-init.
+    Accepts (B,4,H,W,C) or T-folded (B,H,W,4C); the spatial transposed conv
+    always runs per-frame batched (grouped transposed convs measured slower
+    on v5e), folding back for the mix/BN."""
 
     features: int
     spatial_kernel: int = 5
@@ -141,27 +201,58 @@ class ConvTransBlock3d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         k, p = self.spatial_kernel, self.spatial_padding
-        y = ConvTranspose(
-            self.features, (1, k, k), (1, 2, 2), (0, p, p), (0, 1, 1), name="spatial"
-        )(x)
+        folded = x.ndim == 4
+        T = 4
+        if folded:
+            B, H, W, TC = x.shape
+            Cin = TC // T
+            kernel, bias = ConvParams((1, k, k, Cin, self.features),
+                                      transpose_fan=True, name="spatial")()
+            xu = unfold_t(x, T).reshape(B * T, H, W, Cin)
+            y = convops.conv_transpose(xu, kernel[0], (2, 2), (p, p), (1, 1))
+            y = y + bias.astype(y.dtype)
+            y = fold_t(y.reshape(B, T, y.shape[1], y.shape[2], self.features))
+        else:
+            from ..nn.layers import ConvTranspose
+
+            y = ConvTranspose(
+                self.features, (1, k, k), (1, 2, 2), (0, p, p), (0, 1, 1), name="spatial"
+            )(x)
         y = CyclicTemporalMix(self.features, use_bias=True, name="tmix")(y)
-        y = batch_norm()(y, use_running_average=not train)
+        if folded:
+            y = _bn_folded(batch_norm(), y, train, T)
+        else:
+            y = batch_norm()(y, use_running_average=not train)
         return nn.leaky_relu(y, 0.2)
 
 
 class ConvBlock23d(nn.Module):
     """Two 3x3x3 convs with BN; LeakyReLU only between them (reference
-    conv_block_2_3d, models/SMOW_Net.py:142-156 — no final activation)."""
+    conv_block_2_3d, models/SMOW_Net.py:142-156 — no final activation).
+    Accepts (B,4,H,W,C) or T-folded (B,H,W,4C) — folded runs the block-banded
+    tdense kernels directly, with no transposes."""
 
     features: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        y = Conv(self.features, 3, 1, 1, name="conv1")(x)
-        y = batch_norm("bn1")(y, use_running_average=not train)
+        if x.ndim == 5:
+            y = Conv(self.features, 3, 1, 1, name="conv1")(x)
+            y = batch_norm("bn1")(y, use_running_average=not train)
+            y = nn.leaky_relu(y, 0.2)
+            y = Conv(self.features, 3, 1, 1, name="conv2")(y)
+            return batch_norm("bn2")(y, use_running_average=not train)
+        T = 4
+        Cin = x.shape[-1] // T
+        k1, b1 = ConvParams((3, 3, 3, Cin, self.features), name="conv1")()
+        y = convops.conv(x, convops.tdense_kernel(k1.astype(x.dtype), T), (1, 1), (1, 1))
+        y = y + jnp.tile(b1, T).astype(y.dtype)
+        y = _bn_folded(batch_norm("bn1"), y, train, T)
         y = nn.leaky_relu(y, 0.2)
-        y = Conv(self.features, 3, 1, 1, name="conv2")(y)
-        return batch_norm("bn2")(y, use_running_average=not train)
+        k2, b2 = ConvParams((3, 3, 3, self.features, self.features), name="conv2")()
+        y = convops.conv(y, convops.tdense_kernel(k2.astype(y.dtype), T), (1, 1), (1, 1))
+        y = y + jnp.tile(b2, T).astype(y.dtype)
+        return _bn_folded(batch_norm("bn2"), y, train, T)
 
 
 class SMOWNet(nn.Module):
@@ -170,12 +261,14 @@ class SMOWNet(nn.Module):
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = jnp.stack([x1, x2], axis=1)  # (B, 2, H, W, 3)
+        # T-folded pair: (B, H, W, 6) — no stack/transpose at all
+        xf = jnp.concatenate([x1, x2], axis=-1)
         resnet = ResNet3D(name="resnet")
-        x0, (f1, f2, f3, f4) = resnet(x, train)
+        x0, (f1, f2, f3, f4) = resnet(xf, train)  # all T=2-folded
 
         x0 = BasicConv3d(32, name="Conv3d")(x0, train)
-        tokens = OFW(32, name="OFW")(x0, train)
+        x0u = unfold_t(x0, 2)  # the OFW warps per frame
+        tokens = OFW(32, name="OFW")(x0u, train)
         tokens = TokenTransformerEncoder(32, name="Transformer_Encoder")(tokens)
 
         f1 = BasicConv3d(32, name="Conv3d1")(f1, train)
@@ -183,22 +276,22 @@ class SMOWNet(nn.Module):
         f3 = BasicConv3d(128, name="Conv3d3")(f3, train)
         f4 = BasicConv3d(256, name="Conv3d4")(f4, train)
 
-        lift = lambda v: resize_linear(v, (4,), (1,), align_corners=True)
-        x0, f1, f2, f3, f4 = map(lift, (x0, f1, f2, f3, f4))
+        x0, f1, f2, f3, f4 = map(_lift24_folded, (x0, f1, f2, f3, f4))
 
-        y = max_pool(f4, (1, 2, 2), (1, 2, 2))
+        y = max_pool(f4, (2, 2), (2, 2))
         y = ConvTransBlock3d(256, name="C3DT1")(y, train)
-        y = ConvBlock23d(128, name="C3D1")(jnp.concatenate([y, f4], -1), train)
+        y = ConvBlock23d(128, name="C3D1")(_cat_folded(y, f4, 4), train)
         y = ConvTransBlock3d(128, name="C3DT2")(y, train)
-        y = ConvBlock23d(64, name="C3D2")(jnp.concatenate([y, f3], -1), train)
+        y = ConvBlock23d(64, name="C3D2")(_cat_folded(y, f3, 4), train)
         y = ConvTransBlock3d(64, name="C3DT3")(y, train)
-        y = ConvBlock23d(64, name="C3D3")(jnp.concatenate([y, f2], -1), train)
+        y = ConvBlock23d(64, name="C3D3")(_cat_folded(y, f2, 4), train)
         y = ConvTransBlock3d(64, name="C3DT4")(y, train)
-        y = ConvBlock23d(32, name="C3D4")(jnp.concatenate([y, f1], -1), train)
+        y = ConvBlock23d(32, name="C3D4")(_cat_folded(y, f1, 4), train)
         y = ConvTransBlock3d(32, name="C3DT5")(y, train)
-        y = ConvBlock23d(32, name="C3D5")(jnp.concatenate([y, x0], -1), train)
+        y = ConvBlock23d(32, name="C3D5")(_cat_folded(y, x0, 4), train)
 
-        y = PixelTransformerDecoder(128, name="Transformer_Decoder")(y, tokens)
+        y = PixelTransformerDecoder(128, folded_input=True,
+                                    name="Transformer_Decoder")(y, tokens)
         y = Conv(4, 1, use_bias=False, name="classifier_conv")(y)
         # sigmoid before the sub-pixel shuffle (elementwise, commutes with the
         # permutation): the post-shuffle tensor is (B, 2H, 2W, 1) whose 1-wide

@@ -24,11 +24,30 @@ class CyclicTemporalMix(nn.Module):
 
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
-        """y: (B, 4, H, W, C) -> (B, 4, H, W, C)."""
+        """y: (B, 4, H, W, C) or T-folded (B, H, W, 4*C), same layout out."""
         C = self.features
         w_id = self.param("time_5_kernel", torch_init.temporal_identity, (1, 1, 1, C, C))
         # four per-frame mixers stacked: (4, C, C), zero-init
         w_mix = self.param("time_mix_kernel", torch_init.zeros, (4, C, C))
+        if y.ndim == 4:
+            # folded: one (4C, 4C) block matrix — out_j = id(F_j) +
+            # mix_{j+1}(F_{j+1}): block (row=in frame i, col=out frame j)
+            # is w_id at i==j plus w_mix[i] at i==(j+1)%4
+            wid = w_id[0, 0, 0]
+            zero = jnp.zeros_like(wid)
+            rows = []
+            for i in range(4):
+                blocks = [wid if i == j else (w_mix[i] if i == (j + 1) % 4 else zero)
+                          for j in range(4)]
+                rows.append(jnp.concatenate(blocks, axis=1))
+            M = jnp.concatenate(rows, axis=0)
+            out = jnp.matmul(y, M.astype(y.dtype))
+            if self.use_bias:
+                b_id = self.param("time_5_bias", torch_init.uniform_fan_in_bias(C), (C,))
+                b_mix = self.param("time_mix_bias", torch_init.uniform_fan_in_bias(C), (4, C))
+                bias = jnp.concatenate([b_id + b_mix[(j + 1) % 4] for j in range(4)])
+                out = out + bias.astype(out.dtype)
+            return out
         y_id = jnp.einsum("bthwc,cd->bthwd", y, w_id[0, 0, 0])
         y_mix = jnp.einsum("bthwc,tcd->bthwd", y, w_mix)
         if self.use_bias:

@@ -22,6 +22,7 @@ from ..utils import torch_init
 
 __all__ = [
     "Conv",
+    "ConvParams",
     "ConvTranspose",
     "Dense",
     "batch_norm",
@@ -70,6 +71,29 @@ class Conv(nn.Module):
             binit = self.bias_init or torch_init.uniform_fan_in_bias(fan_in)
             y = y + self.param("bias", binit, (self.features,)).astype(dt)
         return y
+
+
+class ConvParams(nn.Module):
+    """Declares Conv/ConvTranspose-compatible kernel+bias params (tree path
+    `<name>/{kernel,bias}`) without binding the activation layout, so
+    T-folded forward paths can share parameters with the reference-shaped
+    modules. `transpose_fan=True` reproduces ConvTranspose's torch fan
+    (out-channels based)."""
+
+    shape: Sequence[int]  # (*k, C_in[/groups], C_out)
+    use_bias: bool = True
+    transpose_fan: bool = False
+
+    @nn.compact
+    def __call__(self):
+        shape = tuple(self.shape)
+        k, cin, cout = shape[:-2], shape[-2], shape[-1]
+        fan_in = (cout if self.transpose_fan else cin) * _prod(k)
+        kernel = self.param("kernel", torch_init.kaiming_uniform_torch(fan_in), shape)
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", torch_init.uniform_fan_in_bias(fan_in), (cout,))
+        return kernel, bias
 
 
 class ConvTranspose(nn.Module):

@@ -7,21 +7,64 @@ TPU-native rebuild of the reference's `ResNet3D`/`Decompose_conv` pattern
 inflated net starts exactly equal to per-frame 2D ResNet. BatchNorm
 normalizes over (B,T,H,W) like torch BatchNorm3d.
 
-Activations are (B, T, H, W, C); the encoder is time-preserving (T=2).
+Two activation layouts, same parameter tree:
+  * unfolded (B, T, H, W, C) — the reference-shaped path;
+  * T-folded (B, H, W, T*C), frame-major channels — the TPU-fast path:
+    spatial convs run as grouped 2-D convs with frame-tiled kernels and the
+    three temporal mixers collapse into ONE full-width (2C, 2C) matmul,
+    removing the per-block slice/concat traffic (measured on v5e).
+The layout is chosen by input rank; params/initializers are identical.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops import convops
 from ..ops.pooling import max_pool
 from ..utils import torch_init
-from .layers import Conv, batch_norm
+from .layers import batch_norm
 
-__all__ = ["DecomposedConv3d", "BasicBlock3d", "ResNet3D"]
+__all__ = ["DecomposedConv3d", "BasicBlock3d", "ResNet3D", "fold_t", "unfold_t"]
+
+
+def fold_t(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, W, C) -> (B, H, W, T*C), frame-major channels."""
+    B, T, H, W, C = x.shape
+    return x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * C)
+
+
+def unfold_t(x: jnp.ndarray, T: int) -> jnp.ndarray:
+    """(B, H, W, T*C) -> (B, T, H, W, C)."""
+    B, H, W, TC = x.shape
+    return x.reshape(B, H, W, T, TC // T).transpose(0, 3, 1, 2, 4)
+
+
+class _Kern(nn.Module):
+    """Declares a bare conv kernel param under this module's name, so both
+    layout paths share one declaration (tree path: <name>/kernel)."""
+
+    shape: Tuple[int, ...]
+    init: Callable
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", self.init, self.shape)
+
+
+def _bn_apply(bn: nn.Module, y: jnp.ndarray, train: bool, T: int) -> jnp.ndarray:
+    """BatchNorm with (C,) stats on either layout. Folded tensors are viewed
+    as (B, H, W, T, C) — a free reshape — so stats pool over frames exactly
+    like torch BatchNorm3d."""
+    if y.ndim == 4:
+        B, H, W, TC = y.shape
+        z = y.reshape(B, H, W, T, TC // T)
+        z = bn(z, use_running_average=not train)
+        return z.reshape(B, H, W, TC)
+    return bn(y, use_running_average=not train)
 
 
 class DecomposedConv3d(nn.Module):
@@ -30,7 +73,7 @@ class DecomposedConv3d(nn.Module):
 
     frame1_out = time_2(F1) + time_3(F2); frame2_out = time_1(F1) + time_2(F2),
     with time_2 identity-init and time_1/time_3 zero-init.
-    """
+    Accepts (B,2,H,W,C) or T-folded (B,H,W,2C)."""
 
     features: int
     kernel_size: int = 3
@@ -39,22 +82,34 @@ class DecomposedConv3d(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fold_output: bool = False) -> jnp.ndarray:
         k, s, p = self.kernel_size, self.stride, self.padding
-        y = Conv(
-            self.features, (1, k, k), (1, s, s), (0, p, p), use_bias=self.use_bias,
-            name="spatial",
-        )(x)
-        t_id = Conv(
-            self.features, 1, use_bias=False, kernel_init=torch_init.temporal_identity,
-            name="time_2",
-        )
-        t_fwd = Conv(self.features, 1, use_bias=False, kernel_init=torch_init.zeros, name="time_1")
-        t_bwd = Conv(self.features, 1, use_bias=False, kernel_init=torch_init.zeros, name="time_3")
-        y_id = t_id(y)
-        f1 = y_id[:, 0:1] + t_bwd(y[:, 1:2])
-        f2 = t_fwd(y[:, 0:1]) + y_id[:, 1:2]
-        return jnp.concatenate([f1, f2], axis=1)
+        F = self.features
+        folded = x.ndim == 4
+        Cin = x.shape[-1] // 2 if folded else x.shape[-1]
+        assert not self.use_bias, "reference decompose convs are bias-free"
+        ks = _Kern((1, k, k, Cin, F),
+                   torch_init.kaiming_uniform_torch(Cin * k * k), name="spatial")()
+        k_id = _Kern((1, 1, 1, F, F), torch_init.temporal_identity, name="time_2")()
+        k_fwd = _Kern((1, 1, 1, F, F), torch_init.zeros, name="time_1")()
+        k_bwd = _Kern((1, 1, 1, F, F), torch_init.zeros, name="time_3")()
+        W1, W2, W3 = k_fwd[0, 0, 0], k_id[0, 0, 0], k_bwd[0, 0, 0]
+        mix = jnp.concatenate([
+            jnp.concatenate([W2, W1], axis=1),
+            jnp.concatenate([W3, W2], axis=1)], axis=0)
+        if not folded:
+            y = convops.conv(x, ks, (1, s, s), (0, p, p))
+            if fold_output:
+                yf = fold_t(y)
+                return jnp.matmul(yf, mix.astype(yf.dtype))
+            y_id = convops.conv(y, k_id)
+            f1 = y_id[:, 0:1] + convops.conv(y[:, 1:2], k_bwd)
+            f2 = convops.conv(y[:, 0:1], k_fwd) + y_id[:, 1:2]
+            return jnp.concatenate([f1, f2], axis=1)
+        # folded: grouped spatial conv (frame-tiled kernel), one (2F,2F) mix
+        tiled = jnp.concatenate([ks[0], ks[0]], axis=-1)
+        y = convops.conv(x, tiled, (s, s), (p, p), 1, 2)
+        return jnp.matmul(y, mix.astype(y.dtype))
 
 
 class BasicBlock3d(nn.Module):
@@ -66,24 +121,39 @@ class BasicBlock3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        folded = x.ndim == 4
+        in_c = x.shape[-1] // 2 if folded else x.shape[-1]
         residual = x
         y = DecomposedConv3d(self.features, 3, self.stride, 1, name="conv1")(x)
-        y = batch_norm("bn1")(y, use_running_average=not train)
+        y = _bn_apply(batch_norm("bn1"), y, train, 2)
         y = nn.relu(y)
         y = DecomposedConv3d(self.features, 3, 1, 1, name="conv2")(y)
-        y = batch_norm("bn2")(y, use_running_average=not train)
-        if self.stride != 1 or x.shape[-1] != self.features:
-            residual = Conv(
-                self.features, (1, 1, 1), (1, self.stride, self.stride), 0, use_bias=False,
-                name="downsample_conv",
-            )(x)
-            residual = batch_norm("downsample_bn")(residual, use_running_average=not train)
+        y = _bn_apply(batch_norm("bn2"), y, train, 2)
+        if self.stride != 1 or in_c != self.features:
+            kd = _Kern((1, 1, 1, in_c, self.features),
+                       torch_init.kaiming_uniform_torch(in_c),
+                       name="downsample_conv")()
+            if folded:
+                xs = x[:, ::self.stride, ::self.stride, :]
+                B, H, W, _ = xs.shape
+                z = xs.reshape(B, H, W, 2, in_c)
+                z = jnp.matmul(z, kd[0, 0, 0].astype(z.dtype))
+                residual = z.reshape(B, H, W, 2 * self.features)
+            else:
+                residual = convops.conv(x, kd, (1, self.stride, self.stride), 0)
+            residual = _bn_apply(batch_norm("downsample_bn"), residual, train, 2)
         return nn.relu(y + residual)
 
 
 class ResNet3D(nn.Module):
     """Inflated ResNet-18: stem (7x7 spatial + temporal mix) then 4 stages of
-    2 BasicBlocks; strides (1,2,2,2); widths (64,128,256,512)."""
+    2 BasicBlocks; strides (1,2,2,2); widths (64,128,256,512).
+
+    Input (B,2,H,W,3) runs the reference-shaped path; input (B,H,W,6)
+    (T-folded pair) runs the folded path and returns folded features. The
+    stem's 7x7 spatial conv always runs per-frame batched (grouped convs on
+    3 input channels measured slower on v5e); the folded path folds right
+    after it."""
 
     widths: Sequence[int] = (64, 128, 256, 512)
     blocks_per_stage: int = 2
@@ -101,14 +171,25 @@ class ResNet3D(nn.Module):
         self.stages = stages
 
     def stem_forward(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        y = self.stem(x)
-        y = self.bn1(y, use_running_average=not train)
+        folded = x.ndim == 4
+        if folded:
+            # unfold -> per-frame batched 7x7 (grouped convs on 3 input
+            # channels measured slower) -> fold before the temporal mix;
+            # everything downstream stays folded
+            y = self.stem(unfold_t(x, 2), fold_output=True)
+        else:
+            y = self.stem(x)
+        y = _bn_apply(self.bn1, y, train, 2)
         return nn.relu(y)
 
     def __call__(self, x: jnp.ndarray, train: bool):
-        """Returns (stem_out, [stage1..stage4 outputs])."""
+        """Returns (stem_out, [stage1..stage4 outputs]) in the input layout."""
+        folded = x.ndim == 4
         x0 = self.stem_forward(x, train)
-        y = max_pool(x0, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        if folded:
+            y = max_pool(x0, (3, 3), (2, 2), (1, 1))
+        else:
+            y = max_pool(x0, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         feats = []
         for blocks in self.stages:
             for blk in blocks:
