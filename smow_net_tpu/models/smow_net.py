@@ -34,7 +34,8 @@ from ..ops.resize import resize_linear
 from ..ops.warp import flow_warp
 from .temporal import CyclicTemporalMix
 
-__all__ = ["SMOWNet", "OFW", "TokenTransformerEncoder", "PixelTransformerDecoder"]
+__all__ = ["SMOWNet", "OFW", "TokenTransformerEncoder",
+           "PixelTransformerDecoder", "ofw_tokens_fused"]
 
 
 def _bn_folded(bn: nn.Module, y: jnp.ndarray, train: bool, T: int) -> jnp.ndarray:
@@ -98,26 +99,35 @@ class OFW(nn.Module):
     Input (B, 2, H, W, C) -> output (B, 4, H, W, C) = [F1, warp(F1), warp(F2), F2].
     Three depthwise strided 3D convs build a coarse context, trilinearly
     lifted back to input size; a 3x3x3 conv predicts a 2-channel flow per
-    frame; each frame is bilinearly warped (border, align_corners=True)."""
+    frame; each frame is bilinearly warped (border, align_corners=True).
+    `flow()` exposes the flow field so the fused token path can move the
+    warps onto the cheap side (see `ofw_tokens_fused`)."""
 
     inplane: int
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        B, T, H, W, C = x.shape
+    def setup(self):
+        self.downs = [
+            Conv(self.inplane, 3, (1, 2, 2), 1, groups=self.inplane,
+                 name=f"down{i}_conv")
+            for i in range(3)
+        ]
+        self.down_bns = [batch_norm(f"down{i}_bn") for i in range(3)]
+        self.flow_make = Conv(2, 3, 1, 1, use_bias=False, name="flow_make")
+
+    def flow(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """(B, 2, H, W, C) -> per-frame flow field (B, 2, H, W, 2)."""
+        T, H, W = x.shape[1], x.shape[2], x.shape[3]
         y = x
-        for i in range(3):
-            y = Conv(
-                self.inplane, 3, (1, 2, 2), 1, groups=self.inplane, name=f"down{i}_conv"
-            )(y)
-            y = batch_norm(f"down{i}_bn")(y, use_running_average=not train)
-            y = nn.relu(y)
+        for conv, bn in zip(self.downs, self.down_bns):
+            y = nn.relu(bn(conv(y), use_running_average=not train))
         # reference hard-codes size=(2,128,128) (models/SMOW_Net.py:607); we
         # use the actual input size — identical for the 256x256 recipe.
         y = resize_linear(y, (T, H, W), (1, 2, 3), align_corners=True)
-        flow = Conv(2, 3, 1, 1, use_bias=False, name="flow_make")(
-            jnp.concatenate([x, y], axis=-1)
-        )  # (B, T, H, W, 2)
+        return self.flow_make(jnp.concatenate([x, y], axis=-1))
+
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        B, T, H, W, C = x.shape
+        flow = self.flow(x, train)
         # one batched warp over both frames: the (B, T) -> B*T reshape is a
         # contiguous no-op and frame/flow pairing is preserved element-wise
         w = flow_warp(x.reshape(B * T, H, W, C), flow.reshape(B * T, H, W, 2))
@@ -135,24 +145,78 @@ class TokenTransformerEncoder(nn.Module):
     token_len: int = 8
     heads: int = 8
 
-    @nn.compact
+    def setup(self):
+        self.pos_embedding = self.param(
+            "pos_embedding", nn.initializers.normal(1.0),
+            (4, self.token_len, self.in_chan))
+        self.conv_a = Conv(self.token_len, 1, name="conv_a")
+        dim = 4 * self.in_chan
+        self.transformer = TransformerLayer(dim, self.heads, dim, dim,
+                                            name="transformer")
+
+    def attention_logits(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pointwise token-attention logits (any batch of frames)."""
+        return self.conv_a(x)
+
+    def finish(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """(B, 4, token_len, C) pooled tokens -> transformer output."""
+        B = tokens.shape[0]
+        tokens = tokens + self.pos_embedding[None]
+        # concat timestep channels: (B, L, T*C) with t-major feature order
+        tokens = tokens.transpose(0, 2, 1, 3).reshape(
+            B, self.token_len, 4 * self.in_chan)
+        return self.transformer(tokens)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, T, H, W, C = x.shape
         assert T == 4, "token encoder expects T == 4"
-        pos = self.param(
-            "pos_embedding", nn.initializers.normal(1.0), (T, self.token_len, self.in_chan)
-        )
-        conv_a = Conv(self.token_len, 1, name="conv_a")
         # batch the per-timestep loop: fold T into batch (one conv, one einsum)
         xt = x.reshape(B * T, H, W, C)
-        att = conv_a(xt).reshape(B, T, H * W, self.token_len)
+        att = self.conv_a(xt).reshape(B, T, H * W, self.token_len)
         att = jax.nn.softmax(att, axis=2)  # softmax over spatial positions
         feats = x.reshape(B, T, H * W, C)
-        tokens = jnp.einsum("btnl,btnc->btlc", att, feats) + pos[None]
-        # concat timestep channels: (B, L, T*C) with t-major feature order
-        tokens = tokens.transpose(0, 2, 1, 3).reshape(B, self.token_len, T * C)
-        dim = T * self.in_chan
-        return TransformerLayer(dim, self.heads, dim, dim, name="transformer")(tokens)
+        return self.finish(jnp.einsum("btnl,btnc->btlc", att, feats))
+
+
+def ofw_tokens_fused(ofw: OFW, tenc: TokenTransformerEncoder, x: jnp.ndarray,
+                     train: bool) -> jnp.ndarray:
+    """OFW + token pooling with the warps moved to the CHEAP side.
+
+    The OFW output [F0, warp(F0), warp(F1), F1] is consumed only by the
+    token encoder, whose per-frame use of a warped frame W(F) is
+      att = softmax_n(conv_a(W(F)))     and     tok_l = sum_n att[n,l] W(F)[n].
+    conv_a is pointwise-linear and border-mode bilinear weights sum to 1, so
+    conv_a(W(F)) == W(conv_a(F)); and the pooled sum obeys the adjoint
+    identity sum_n att[n] W(F)[n] == sum_m WT(att)[m] F[m]. Hence we warp
+    the `token_len`-channel attention logits forward and scatter the
+    softmaxed maps back (both C=8) instead of warping the C=32 features —
+    half the one-hot-matmul work, bit-identical math up to fp rounding
+    (reference behavior: models/SMOW_Net.py:612-637 + 161-190)."""
+    from ..ops.warp import flow_warp_transpose
+
+    B, T, H, W, C = x.shape
+    L = tenc.token_len
+    flow = ofw.flow(x, train)                     # (B, 2, H, W, 2)
+    xb = x.reshape(B * 2, H, W, C)
+    fb = flow.reshape(B * 2, H, W, 2)
+    a = tenc.attention_logits(xb)                 # (B*2, H, W, L) logits
+    aw = flow_warp(a, fb)                         # warped logits
+    a = a.reshape(B, 2, H, W, L)
+    aw = aw.reshape(B, 2, H, W, L)
+    logits = jnp.stack([a[:, 0], aw[:, 0], aw[:, 1], a[:, 1]], axis=1)
+    att = jax.nn.softmax(logits.reshape(B, 4, H * W, L), axis=2)
+    attm = att.reshape(B, 4, H, W, L)
+    # frames 1,2: scatter the softmaxed maps back through the sampling matrix
+    attw = flow_warp_transpose(
+        attm[:, 1:3].reshape(B * 2, H, W, L), fb).reshape(B, 2, H, W, L)
+    n = H * W
+    att01 = jnp.stack([attm[:, 0], attw[:, 0]], 1).reshape(B, 2, n, L)
+    att23 = jnp.stack([attw[:, 1], attm[:, 3]], 1).reshape(B, 2, n, L)
+    f0 = x[:, 0].reshape(B, n, C)
+    f1 = x[:, 1].reshape(B, n, C)
+    t01 = jnp.einsum("btnl,bnc->btlc", att01, f0)
+    t23 = jnp.einsum("btnl,bnc->btlc", att23, f1)
+    return tenc.finish(jnp.concatenate([t01, t23], axis=1))
 
 
 class PixelTransformerDecoder(nn.Module):
@@ -209,7 +273,8 @@ class ConvTransBlock3d(nn.Module):
             kernel, bias = ConvParams((1, k, k, Cin, self.features),
                                       transpose_fan=True, name="spatial")()
             xu = unfold_t(x, T).reshape(B * T, H, W, Cin)
-            y = convops.conv_transpose(xu, kernel[0], (2, 2), (p, p), (1, 1))
+            y = convops.conv_transpose(xu, kernel[0].astype(x.dtype),
+                                       (2, 2), (p, p), (1, 1))
             y = y + bias.astype(y.dtype)
             y = fold_t(y.reshape(B, T, y.shape[1], y.shape[2], self.features))
         else:
@@ -268,8 +333,9 @@ class SMOWNet(nn.Module):
 
         x0 = BasicConv3d(32, name="Conv3d")(x0, train)
         x0u = unfold_t(x0, 2)  # the OFW warps per frame
-        tokens = OFW(32, name="OFW")(x0u, train)
-        tokens = TokenTransformerEncoder(32, name="Transformer_Encoder")(tokens)
+        tokens = ofw_tokens_fused(
+            OFW(32, name="OFW"),
+            TokenTransformerEncoder(32, name="Transformer_Encoder"), x0u, train)
 
         f1 = BasicConv3d(32, name="Conv3d1")(f1, train)
         f2 = BasicConv3d(64, name="Conv3d2")(f2, train)

@@ -15,7 +15,8 @@ from ..nn.mobilenetv2 import MobileNetV2
 from ..ops.pixel_shuffle import smow_shuffle
 from ..ops.pooling import max_pool
 from ..ops.resize import resize_linear
-from .smow_net import OFW, PixelTransformerDecoder, TokenTransformerEncoder
+from .smow_net import (OFW, PixelTransformerDecoder, TokenTransformerEncoder,
+                       ofw_tokens_fused)
 from .temporal import CyclicTemporalMix
 
 __all__ = ["SMOWNetLW"]
@@ -62,8 +63,9 @@ class SMOWNetLW(nn.Module):
             jnp.stack([a, b], axis=1) for a, b in zip(taps1, taps2)
         ]
 
-        tokens = OFW(16, name="OFW")(x0, train)
-        tokens = TokenTransformerEncoder(16, name="Transformer_Encoder")(tokens)
+        tokens = ofw_tokens_fused(
+            OFW(16, name="OFW"),
+            TokenTransformerEncoder(16, name="Transformer_Encoder"), x0, train)
 
         lift = lambda v: resize_linear(v, (4,), (1,), align_corners=True)
         x0, f1, f2, f3, f4 = map(lift, (x0, f1, f2, f3, f4))

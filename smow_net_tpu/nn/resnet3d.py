@@ -93,23 +93,23 @@ class DecomposedConv3d(nn.Module):
         k_id = _Kern((1, 1, 1, F, F), torch_init.temporal_identity, name="time_2")()
         k_fwd = _Kern((1, 1, 1, F, F), torch_init.zeros, name="time_1")()
         k_bwd = _Kern((1, 1, 1, F, F), torch_init.zeros, name="time_3")()
+        dt = x.dtype
         W1, W2, W3 = k_fwd[0, 0, 0], k_id[0, 0, 0], k_bwd[0, 0, 0]
         mix = jnp.concatenate([
             jnp.concatenate([W2, W1], axis=1),
-            jnp.concatenate([W3, W2], axis=1)], axis=0)
+            jnp.concatenate([W3, W2], axis=1)], axis=0).astype(dt)
         if not folded:
-            y = convops.conv(x, ks, (1, s, s), (0, p, p))
+            y = convops.conv(x, ks.astype(dt), (1, s, s), (0, p, p))
             if fold_output:
-                yf = fold_t(y)
-                return jnp.matmul(yf, mix.astype(yf.dtype))
-            y_id = convops.conv(y, k_id)
-            f1 = y_id[:, 0:1] + convops.conv(y[:, 1:2], k_bwd)
-            f2 = convops.conv(y[:, 0:1], k_fwd) + y_id[:, 1:2]
+                return jnp.matmul(fold_t(y), mix)
+            y_id = convops.conv(y, k_id.astype(dt))
+            f1 = y_id[:, 0:1] + convops.conv(y[:, 1:2], k_bwd.astype(dt))
+            f2 = convops.conv(y[:, 0:1], k_fwd.astype(dt)) + y_id[:, 1:2]
             return jnp.concatenate([f1, f2], axis=1)
         # folded: grouped spatial conv (frame-tiled kernel), one (2F,2F) mix
-        tiled = jnp.concatenate([ks[0], ks[0]], axis=-1)
+        tiled = jnp.concatenate([ks[0], ks[0]], axis=-1).astype(dt)
         y = convops.conv(x, tiled, (s, s), (p, p), 1, 2)
-        return jnp.matmul(y, mix.astype(y.dtype))
+        return jnp.matmul(y, mix)
 
 
 class BasicBlock3d(nn.Module):
@@ -140,7 +140,8 @@ class BasicBlock3d(nn.Module):
                 z = jnp.matmul(z, kd[0, 0, 0].astype(z.dtype))
                 residual = z.reshape(B, H, W, 2 * self.features)
             else:
-                residual = convops.conv(x, kd, (1, self.stride, self.stride), 0)
+                residual = convops.conv(x, kd.astype(x.dtype),
+                                        (1, self.stride, self.stride), 0)
             residual = _bn_apply(batch_norm("downsample_bn"), residual, train, 2)
         return nn.relu(y + residual)
 

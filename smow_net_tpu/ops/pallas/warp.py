@@ -47,7 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["grid_sample_pallas", "pallas_warp_supported"]
+__all__ = ["grid_sample_pallas", "grid_sample_transpose_pallas",
+           "pallas_warp_supported"]
 
 # 256 pixels per tile: per-program fixed overhead (dispatch, idxw loads,
 # output writes) was a measurable share of kernel time at 128; doubling the
@@ -199,6 +200,78 @@ def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
         dxt_ref[0] = jnp.zeros_like(dxt_ref[0])
 
     dxt_ref[0] += contrib
+
+
+def _t_kernel(idxw_ref, gt_ref, dxt_ref, *, H: int, W: int, C: int):
+    """Transposed sampling (scatter-as-matmul): dx^T (W*C, H) +=
+    (Wh_exp . G_exp) @ Wv^T per pixel tile — the dx half of `_bwd_kernel`
+    without the primal image or weight-gradient work. Used as a primal op
+    by the fused OFW token path (sum_n att[n] . warp(x)[n] ==
+    sum_m x[m] . warpT(att)[m])."""
+    tp = gt_ref.shape[-1]
+    y0 = idxw_ref[0, 0:1, :]
+    y1 = idxw_ref[0, 1:2, :]
+    wy0 = idxw_ref[0, 2:3, :]
+    wy1 = idxw_ref[0, 3:4, :]
+    x0 = idxw_ref[0, 4:5, :]
+    x1 = idxw_ref[0, 5:6, :]
+    wx0 = idxw_ref[0, 6:7, :]
+    wx1 = idxw_ref[0, 7:8, :]
+
+    gt = gt_ref[0]          # (C, tp)
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
+    fx0 = (iw == x0.astype(jnp.int32)).astype(jnp.float32)
+    fx1 = (iw == x1.astype(jnp.int32)).astype(jnp.float32)
+    wh = jnp.broadcast_to((wx0 * fx0 + wx1 * fx1)[:, None, :],
+                          (W, C, tp)).reshape(W * C, tp)
+    g_exp = jnp.broadcast_to(gt.astype(jnp.float32)[None, :, :],
+                             (W, C, tp)).reshape(W * C, tp)
+    wvt = (wy0 * (ioh == y0.astype(jnp.int32))
+           + wy1 * (ioh == y1.astype(jnp.int32)))
+    contrib = jax.lax.dot_general(
+        (wh * g_exp), wvt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dxt_ref[0] = jnp.zeros_like(dxt_ref[0])
+
+    dxt_ref[0] += contrib
+
+
+def grid_sample_transpose_pallas(g, grid, out_hw, padding_mode="border",
+                                 align_corners=True, interpret=False):
+    """Adjoint of `grid_sample_pallas` as a primal op: scatter `g`
+    (B, Hg, Wg, C) through the sampling matrix of `grid` into an
+    (B, H, W, C) image (fp32 accumulation, cast to g.dtype). Not
+    differentiable on its own — callers wrap it (see ops/warp.py)."""
+    B, Hg, Wg, C = g.shape
+    H, W = out_hw
+    P = Hg * Wg
+    idxw = _corner_indices_weights(grid, H, W, padding_mode, align_corners)
+    gt = g.reshape(B, P, C).transpose(0, 2, 1)
+
+    kernel = functools.partial(_t_kernel, H=H, W=W, C=C)
+    dxt = pl.pallas_call(
+        kernel,
+        grid=(B, P // _TILE_P_BWD),
+        in_specs=[
+            pl.BlockSpec((1, 8, _TILE_P_BWD), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, _TILE_P_BWD), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, W * C, H), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(idxw, gt)
+    return dxt.transpose(0, 2, 1).reshape(B, H, W, C).astype(g.dtype)
 
 
 def pallas_warp_supported(x_shape, grid_shape) -> bool:

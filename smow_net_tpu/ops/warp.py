@@ -20,9 +20,13 @@ both in [-1, 1] — identical to torch's convention.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
-__all__ = ["grid_sample", "grid_sample_auto", "set_warp_impl", "flow_warp"]
+__all__ = ["grid_sample", "grid_sample_auto", "grid_sample_transpose",
+           "set_warp_impl", "flow_warp", "flow_warp_transpose"]
 
 _IMPL = "auto"
 
@@ -128,6 +132,74 @@ def grid_sample(
     return out.astype(x.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def grid_sample_transpose(g, grid, out_hw, padding_mode="border",
+                          align_corners=True):
+    """Adjoint of `grid_sample` as a *primal* op: out[m, c] = sum_n
+    S[n, m] g[n, c] where S is grid's bilinear sampling matrix into an
+    (H, W) = out_hw image. Enables the exact rewrite
+    sum_n a[n] . warp(x)[n] == sum_m x[m] . warpT(a)[m] so consumers can
+    warp the CHEAP side (e.g. 8 attention channels instead of 32 feature
+    channels in the OFW token path).
+
+    VJP: d/dg = grid_sample (S is linear), d/dgrid via the adjoint identity
+    (the grid-cotangent of a forward warp of the g-cotangent)."""
+    impl = _IMPL
+    if impl == "auto":
+        from .pallas.warp import pallas_warp_supported
+
+        B, Hg, Wg, C = g.shape
+        x_like = (B, out_hw[0], out_hw[1], C)
+        impl = "pallas" if (jax.default_backend() == "tpu"
+                            and pallas_warp_supported(x_like, grid.shape)
+                            and (Hg * Wg) % 128 == 0) else "xla"
+    if impl == "pallas":
+        from .pallas.warp import grid_sample_transpose_pallas
+
+        return grid_sample_transpose_pallas(g, grid, out_hw, padding_mode,
+                                            align_corners)
+    B, Hg, Wg, C = g.shape
+    x0 = jnp.zeros((B, out_hw[0], out_hw[1], C), g.dtype)
+    _, vjp = jax.vjp(
+        lambda x: grid_sample(x, grid, padding_mode, align_corners), x0)
+    return vjp(g)[0]
+
+
+def _gst_fwd(g, grid, out_hw, padding_mode, align_corners):
+    return grid_sample_transpose(g, grid, out_hw, padding_mode,
+                                 align_corners), (g, grid)
+
+
+def _gst_bwd(out_hw, padding_mode, align_corners, res, cot):
+    g, grid = res
+    dg = grid_sample_auto(cot, grid, padding_mode, align_corners)
+    _, vjpf = jax.vjp(
+        lambda c, gr: grid_sample_auto(c, gr, padding_mode, align_corners),
+        cot, grid)
+    _, dgrid = vjpf(g)
+    return dg.astype(g.dtype), dgrid
+
+
+grid_sample_transpose.defvjp(_gst_fwd, _gst_bwd)
+
+
+def _flow_grid(flow: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    fy = jnp.linspace(-1.0, 1.0, H, dtype=jnp.float32)
+    fx = jnp.linspace(-1.0, 1.0, W, dtype=jnp.float32)
+    base = jnp.stack(jnp.meshgrid(fx, fy, indexing="xy"), axis=-1)  # (H, W, 2)
+    norm = jnp.asarray([W, H], dtype=jnp.float32)
+    return jnp.clip(base[None] + flow.astype(jnp.float32) / norm, -1.0, 1.0)
+
+
+def flow_warp_transpose(g: jnp.ndarray, flow: jnp.ndarray,
+                        align_corners: bool = True) -> jnp.ndarray:
+    """Adjoint of `flow_warp` as a primal op (same grid construction);
+    differentiable in both `g` and `flow`."""
+    B, H, W, _ = g.shape
+    grid = _flow_grid(flow, H, W)
+    return grid_sample_transpose(g, grid, (H, W), "border", align_corners)
+
+
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
     """Warp `x` (B, H, W, C) by a pixel-space `flow` (B, H, W, 2).
 
@@ -136,9 +208,5 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = True) -> 
     with bilinear / border / align_corners=True.
     """
     B, H, W, _ = x.shape
-    fy = jnp.linspace(-1.0, 1.0, H, dtype=jnp.float32)
-    fx = jnp.linspace(-1.0, 1.0, W, dtype=jnp.float32)
-    base = jnp.stack(jnp.meshgrid(fx, fy, indexing="xy"), axis=-1)  # (H, W, 2)
-    norm = jnp.asarray([W, H], dtype=jnp.float32)
-    grid = jnp.clip(base[None] + flow.astype(jnp.float32) / norm, -1.0, 1.0)
+    grid = _flow_grid(flow, H, W)
     return grid_sample_auto(x, grid, padding_mode="border", align_corners=align_corners)

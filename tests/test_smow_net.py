@@ -57,3 +57,38 @@ def test_temporal_identity_init():
     s21 = np.asarray(stem(x2, x1))
     np.testing.assert_allclose(s12[:, 0], s21[:, 1], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(s12[:, 1], s21[:, 0], rtol=1e-5, atol=1e-5)
+
+
+def test_fused_ofw_tokens_matches_legacy():
+    """The fused OFW+token path (warp the 8-channel attention maps, scatter
+    back) must equal the legacy path (warp the 32-channel features) — exact
+    rewrite via conv/warp commutation + the sampling adjoint."""
+    import flax.linen as nn
+    import jax
+
+    from smow_net_tpu.models.smow_net import (
+        OFW, TokenTransformerEncoder, ofw_tokens_fused)
+
+    class Legacy(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            t = OFW(16, name="OFW")(x, train)
+            return TokenTransformerEncoder(16, name="Transformer_Encoder")(t)
+
+    class Fused(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return ofw_tokens_fused(
+                OFW(16, name="OFW"),
+                TokenTransformerEncoder(16, name="Transformer_Encoder"),
+                x, train)
+
+    k = jax.random.PRNGKey
+    x = jax.random.normal(k(0), (2, 2, 32, 32, 16))
+    leg, fus = Legacy(), Fused()
+    v = leg.init(k(1), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(fus.init(k(1), x)))
+    o1 = leg.apply(v, x)
+    o2 = fus.apply(v, x)
+    assert float(jnp.max(jnp.abs(o1 - o2))) < 1e-5

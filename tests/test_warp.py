@@ -63,3 +63,47 @@ def test_flow_warp_matches_reference_semantics():
     out = np.asarray(flow_warp(x_cl, f_cl))
     out = np.transpose(out, (0, 3, 1, 2))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+import jax.numpy as jnp
+
+
+def test_flow_warp_transpose_is_adjoint():
+    """<warp(x), g> == <x, warpT(g)> for random x, g, flow — pins the
+    transposed sampler used by the fused OFW token path."""
+    import jax
+
+    from smow_net_tpu.ops.warp import flow_warp, flow_warp_transpose
+
+    k = jax.random.PRNGKey
+    x = jax.random.normal(k(0), (2, 16, 16, 8))
+    g = jax.random.normal(k(1), (2, 16, 16, 8))
+    flow = jax.random.normal(k(2), (2, 16, 16, 2)) * 4.0
+    lhs = jnp.sum(flow_warp(x, flow) * g)
+    rhs = jnp.sum(x * flow_warp_transpose(g, flow))
+    assert abs(float(lhs - rhs)) < 1e-3
+
+
+def test_flow_warp_transpose_grads():
+    """VJP of the transposed warp: d/dg == forward warp of the cotangent;
+    d/dflow checked against finite differences."""
+    import jax
+
+    from smow_net_tpu.ops.warp import flow_warp_transpose
+
+    k = jax.random.PRNGKey
+    g = jax.random.normal(k(0), (1, 8, 8, 4))
+    flow = jax.random.normal(k(1), (1, 8, 8, 2)) * 2.0
+
+    def f(g, flow):
+        return jnp.sum(flow_warp_transpose(g, flow) ** 2)
+
+    dg, dflow = jax.grad(f, argnums=(0, 1))(g, flow)
+    eps = 1e-3
+    for idx in [(0, 3, 4, 0), (0, 1, 2, 1)]:
+        d = jnp.zeros_like(flow).at[idx].set(eps)
+        fd = (f(g, flow + d) - f(g, flow - d)) / (2 * eps)
+        assert abs(float(fd) - float(dflow[idx])) < 0.1 * max(1.0, abs(float(fd)))
+    d = jnp.zeros_like(g).at[0, 2, 2, 3].set(eps)
+    fd = (f(g + d, flow) - f(g - d, flow)) / (2 * eps)
+    assert abs(float(fd) - float(dg[0, 2, 2, 3])) < 0.1 * max(1.0, abs(float(fd)))

@@ -74,11 +74,11 @@ def main():
     only = os.environ.get("PB_ONLY", "")
     full = only == ""
 
-    x = r(k(0), (BS, 2, H, H, 3), bf)
+    x = r(k(0), (BS, H, H, 6), bf)  # T-folded pair
     if full:
-        timeit("resnet3d encoder", ResNet3D(), x)
+        timeit("resnet3d encoder (folded)", ResNet3D(), x)
 
-    x0 = r(k(1), (BS, 2, H // 2, H // 2, 64), bf)
+    x0 = r(k(1), (BS, H // 2, H // 2, 2 * 64), bf)
     if full:
         timeit("Conv3d reduce (64->32 @128)", BasicConv3d(32), x0)
 
@@ -91,36 +91,38 @@ def main():
         timeit("token transformer encoder", TokenTransformerEncoder(32), t4,
                train_kw=False)
 
+    from smow_net_tpu.models.smow_net import _cat_folded
+
     class Decoder(nn.Module):
         @nn.compact
         def __call__(self, f1, f2, f3, f4, x0, train=False):
-            y = max_pool(f4, (1, 2, 2), (1, 2, 2))
+            y = max_pool(f4, (2, 2), (2, 2))
             y = ConvTransBlock3d(256, name="C3DT1")(y, train)
-            y = ConvBlock23d(128, name="C3D1")(jnp.concatenate([y, f4], -1), train)
+            y = ConvBlock23d(128, name="C3D1")(_cat_folded(y, f4, 4), train)
             y = ConvTransBlock3d(128, name="C3DT2")(y, train)
-            y = ConvBlock23d(64, name="C3D2")(jnp.concatenate([y, f3], -1), train)
+            y = ConvBlock23d(64, name="C3D2")(_cat_folded(y, f3, 4), train)
             y = ConvTransBlock3d(64, name="C3DT3")(y, train)
-            y = ConvBlock23d(64, name="C3D3")(jnp.concatenate([y, f2], -1), train)
+            y = ConvBlock23d(64, name="C3D3")(_cat_folded(y, f2, 4), train)
             y = ConvTransBlock3d(64, name="C3DT4")(y, train)
-            y = ConvBlock23d(32, name="C3D4")(jnp.concatenate([y, f1], -1), train)
+            y = ConvBlock23d(32, name="C3D4")(_cat_folded(y, f1, 4), train)
             y = ConvTransBlock3d(32, name="C3DT5")(y, train)
-            y = ConvBlock23d(32, name="C3D5")(jnp.concatenate([y, x0], -1), train)
+            y = ConvBlock23d(32, name="C3D5")(_cat_folded(y, x0, 4), train)
             return y
 
     s = H // 2
-    f1 = r(k(4), (BS, 4, s // 2, s // 2, 32), bf)
-    f2 = r(k(5), (BS, 4, s // 4, s // 4, 64), bf)
-    f3 = r(k(6), (BS, 4, s // 8, s // 8, 128), bf)
-    f4 = r(k(7), (BS, 4, s // 16, s // 16, 256), bf)
-    x0l = r(k(8), (BS, 4, s, s, 32), bf)
+    f1 = r(k(4), (BS, s // 2, s // 2, 4 * 32), bf)
+    f2 = r(k(5), (BS, s // 4, s // 4, 4 * 64), bf)
+    f3 = r(k(6), (BS, s // 8, s // 8, 4 * 128), bf)
+    f4 = r(k(7), (BS, s // 16, s // 16, 4 * 256), bf)
+    x0l = r(k(8), (BS, s, s, 4 * 32), bf)
     if full or only == "dec":
-        timeit("3D U-Net decoder (5 stages)", Decoder(), f1, f2, f3, f4, x0l)
+        timeit("3D U-Net decoder folded (5 stages)", Decoder(), f1, f2, f3, f4, x0l)
 
-    y = r(k(9), (BS, 4, s, s, 32), bf)
+    y = r(k(9), (BS, s, s, 4 * 32), bf)
     m = r(k(10), (BS, 8, 128), bf)
     if full or only == "xattn":
-        timeit("pixel cross-attn decoder", PixelTransformerDecoder(128), y, m,
-               train_kw=False)
+        timeit("pixel cross-attn decoder", PixelTransformerDecoder(128, folded_input=True),
+               y, m, train_kw=False)
 
     class Head(nn.Module):
         @nn.compact
@@ -147,6 +149,44 @@ def main():
     l4 = r(k(16), (BS, 2, s // 16, s // 16, 256), bf)
     if full:
         timeit("temporal lifts (x5)", Lift(), l0, l1, l2, l3, l4, train_kw=False)
+
+    if os.environ.get("PB_XATTN", "0") == "1":
+        from smow_net_tpu.nn.layers import (
+            CrossAttentionBlock, Dense, FeedForward, layer_norm)
+
+        N = (H // 2) * (H // 2)
+        q128 = r(k(30), (BS, N, 128), bf)
+        m8 = r(k(31), (BS, 8, 128), bf)
+
+        class LN(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return layer_norm(name="n")(x)
+
+        timeit("  xattn/layernorm 16k x 128", LN(), q128, train_kw=False)
+
+        class QKV(nn.Module):
+            @nn.compact
+            def __call__(self, x, m):
+                return (Dense(8, use_bias=False, name="q")(x),
+                        Dense(8, use_bias=False, name="k")(m),
+                        Dense(8, use_bias=False, name="v")(m))
+
+        timeit("  xattn/to_q+k+v", QKV(), q128, m8, train_kw=False)
+
+        class Core(nn.Module):
+            @nn.compact
+            def __call__(self, x, m):
+                return CrossAttentionBlock(128, 8, 1, name="a")(x, m)
+
+        timeit("  xattn/core(+proj)", Core(), q128, m8, train_kw=False)
+
+        class FF(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return FeedForward(128, 256, name="ff")(x)
+
+        timeit("  xattn/ffn 128->256->128", FF(), q128, train_kw=False)
 
     if os.environ.get("PB_OFW", "0") == "1":
         from smow_net_tpu.nn.layers import Conv as LConv
