@@ -232,20 +232,29 @@ class PixelTransformerDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+        perm = None
         if self.folded_input:
             B, H, W, TC = x.shape
             T = 4
             C = TC // T
-            # t-major folded channels -> c-major features: a lane-local
-            # (T, C) swap, the only layout change between decoder and head
-            q = x.reshape(B, H * W, T, C).transpose(0, 1, 3, 2).reshape(B, H * W, C * T)
+            # t-major folded channels -> c-major features: a fixed lane
+            # permutation P[t*C+c, c*T+t] = 1, folded into the attention
+            # layer (q-projection weights + one-hot residual matmul) so no
+            # standalone transpose pass ever touches the 16k-pixel tensor.
+            import numpy as np
+            t_idx, c_idx = np.divmod(np.arange(TC), C)       # row = t*C+c
+            cols = c_idx * T + t_idx
+            p_np = np.zeros((TC, TC), np.float32)
+            p_np[np.arange(TC), cols] = 1.0
+            perm = jnp.asarray(p_np, dtype=x.dtype)
+            q = x.reshape(B, H * W, TC)
         else:
             B, T, H, W, C = x.shape
             # (B,T,H,W,C) -> (B,H,W,C,T) -> (B, H*W, C*T): feature idx = c*T + t
             q = x.transpose(0, 2, 3, 4, 1).reshape(B, H * W, C * T)
         q = CrossTransformerLayer(
             self.in_chan, self.heads, dim_head=1, mlp_dim=self.in_chan * 2, name="layer0"
-        )(q, m)
+        )(q, m, perm=perm)
         return q.reshape(B, H, W, self.in_chan)
 
 

@@ -199,6 +199,70 @@ class SelfAttentionBlock(nn.Module):
         return out
 
 
+class DenseParams(nn.Module):
+    """Declares Dense-compatible params (path `<name>/{kernel,bias}`, torch
+    inits) without binding the forward, so fused kernel paths can consume
+    the raw arrays while the tree stays converter/checkpoint-identical."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", torch_init.kaiming_uniform_torch(in_features),
+            (in_features, self.features))
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_init.uniform_fan_in_bias(in_features),
+                (self.features,))
+        return kernel, bias
+
+
+class LayerNormParams(nn.Module):
+    """nn.LayerNorm-compatible params (path `<name>/{scale,bias}`)."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return scale, bias
+
+
+class CrossAttentionHead1(nn.Module):
+    """dim_head=1 cross-attention over raw params: the query-side LN, q/out
+    projections, softmax and residual run through ops.xattn (fused Pallas
+    kernel on TPU; equivalent XLA broadcast path elsewhere). Param tree is
+    identical to CrossAttentionBlock's. `perm` (one-hot, optional) folds the
+    caller's feature permutation into the kernel — x arrives pre-norm and
+    pre-permutation; the return includes the residual `x @ perm`."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, m, ln_scale, ln_bias, perm=None):
+        from ..ops.xattn import cross_attn_head1_auto
+
+        inner = self.heads
+        wq, _ = DenseParams(inner, use_bias=False, name="to_q")(self.dim)
+        wk, _ = DenseParams(inner, use_bias=False, name="to_k")(m.shape[-1])
+        wv, _ = DenseParams(inner, use_bias=False, name="to_v")(m.shape[-1])
+        wo, bo = DenseParams(self.dim, name="to_out")(inner)
+        dt = m.dtype
+        m32 = m.astype(jnp.float32)
+        mu = jnp.mean(m32, axis=-1, keepdims=True)
+        var = jnp.mean(m32 * m32, axis=-1, keepdims=True) - mu * mu
+        m_n = ((m32 - mu) * jax.lax.rsqrt(var + 1e-5)
+               * ln_scale + ln_bias).astype(dt)
+        k = jnp.matmul(m_n, wk.astype(dt))
+        v = jnp.matmul(m_n, wv.astype(dt))
+        return cross_attn_head1_auto(
+            x, ln_scale, ln_bias, wq, k, v, wo, bo,
+            scale=self.dim ** -0.5, perm=perm)
+
+
 class CrossAttentionBlock(nn.Module):
     """Reference `Cross_Attention` (models/SMOW_Net.py:337-381). NB the
     reference instantiates it with dim_head=True -> per-head dim 1 and
@@ -283,10 +347,19 @@ class CrossTransformerLayer(nn.Module):
     mlp_dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-        norm = layer_norm(name="norm1")
-        x = CrossAttentionBlock(self.dim, self.heads, self.dim_head, name="attn")(
-            norm(x), norm(m)
-        ) + x
+    def __call__(self, x: jnp.ndarray, m: jnp.ndarray, perm=None) -> jnp.ndarray:
+        if self.dim_head == 1:
+            # dim_head=1 hot path: raw-param route so the fused TPU kernel
+            # (ops/pallas/xattn.py) can absorb LN + projections + softmax +
+            # residual in one pass; param tree unchanged.
+            g, b = LayerNormParams(name="norm1")(self.dim)
+            x = CrossAttentionHead1(self.dim, self.heads, name="attn")(
+                x, m, g, b, perm)
+        else:
+            assert perm is None, "perm folding only on the dim_head=1 path"
+            norm = layer_norm(name="norm1")
+            x = CrossAttentionBlock(self.dim, self.heads, self.dim_head, name="attn")(
+                norm(x), norm(m)
+            ) + x
         x = FeedForward(self.dim, self.mlp_dim, name="ff")(layer_norm(name="norm2")(x)) + x
         return x

@@ -1,0 +1,114 @@
+"""Fused dim_head=1 cross-attention kernel (ops/pallas/xattn.py) vs the
+portable XLA path — interpret mode on CPU. On-TPU numbers live in PARITY.md.
+
+Covers the reference Transformer_Decoder semantics
+(/root/reference/models/SMOW_Net.py:270-303, 337-381): fwd parity with and
+without the folded lane permutation, full VJP parity (x, LN affine, all
+four projections), and the decoder-level wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smow_net_tpu.ops import xattn
+
+B, N, D, H_, M_ = 2, 512, 128, 8, 8
+
+
+def _inputs(seed, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    x = jax.random.normal(ks[0], (B, N, D), dtype)
+    ln_scale = jax.random.normal(ks[1], (D,), jnp.float32) * 0.2 + 1.0
+    ln_bias = jax.random.normal(ks[2], (D,), jnp.float32) * 0.1
+    wq = jax.random.normal(ks[3], (D, H_), dtype) * 0.1
+    k = jax.random.normal(ks[4], (B, M_, H_), dtype)
+    v = jax.random.normal(ks[5], (B, M_, H_), dtype)
+    wo = jax.random.normal(ks[6], (H_, D), dtype) * 0.1
+    bo = jax.random.normal(ks[7], (D,), dtype) * 0.1
+    return x, ln_scale, ln_bias, wq, k, v, wo, bo
+
+
+def _perm():
+    rng = np.random.default_rng(0)
+    cols = rng.permutation(D)
+    p = np.zeros((D, D), np.float32)
+    p[np.arange(D), cols] = 1.0
+    return jnp.asarray(p)
+
+
+@pytest.fixture(autouse=True)
+def _restore_impl():
+    yield
+    xattn.set_xattn_impl("auto")
+
+
+@pytest.mark.parametrize("use_perm", [False, True])
+def test_fwd_matches_xla(use_perm):
+    args = _inputs(0)
+    perm = _perm() if use_perm else None
+    ref = xattn.cross_attn_head1(*args, scale=D ** -0.5, perm=perm)
+    xattn.set_xattn_impl("pallas", interpret=True)
+    out = xattn.cross_attn_head1_auto(*args, scale=D ** -0.5, perm=perm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("use_perm", [False, True])
+def test_grads_match_xla(use_perm):
+    args = _inputs(1)
+    perm = _perm() if use_perm else None
+    cot = jax.random.normal(jax.random.PRNGKey(9), (B, N, D), jnp.float32)
+
+    def loss(impl):
+        def f(*a):
+            if impl == "pallas":
+                xattn.set_xattn_impl("pallas", interpret=True)
+            else:
+                xattn.set_xattn_impl("xla")
+            y = xattn.cross_attn_head1_auto(*a, scale=D ** -0.5, perm=perm)
+            return jnp.sum(y * cot)
+        return jax.grad(f, argnums=tuple(range(8)))(*args)
+
+    g_ref = loss("xla")
+    g_pal = loss("pallas")
+    names = ["x", "ln_scale", "ln_bias", "wq", "k", "v", "wo", "bo"]
+    for name, gr, gp in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_decoder_folded_perm_equals_manual_cmajor():
+    """PixelTransformerDecoder's folded path (perm handed to the layer) must
+    equal explicitly transposing to c-major and running perm-less."""
+    from smow_net_tpu.models.smow_net import PixelTransformerDecoder
+
+    b, h, w, t, c = 2, 8, 8, 4, 32
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, h, w, t * c))
+    m = jax.random.normal(jax.random.PRNGKey(3), (b, 8, 128))
+    dec = PixelTransformerDecoder(128, folded_input=True)
+    variables = dec.init(jax.random.PRNGKey(0), x, m)
+    out = dec.apply(variables, x, m)
+
+    # manual: t-major -> c-major, feed through the same layer without perm
+    from smow_net_tpu.nn.layers import CrossTransformerLayer
+
+    xc = x.reshape(b, h * w, t, c).transpose(0, 1, 3, 2).reshape(b, h * w, c * t)
+    layer = CrossTransformerLayer(128, 8, dim_head=1, mlp_dim=256)
+    lvars = {"params": variables["params"]["layer0"]}
+    ref = layer.apply(lvars, xc, m).reshape(b, h, w, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_fwd_close(
+):
+    args = _inputs(4, jnp.bfloat16)
+    args = args[:1] + args[1:3] + args[3:]  # ln affine stays f32
+    ref = xattn.cross_attn_head1(*args, scale=D ** -0.5, perm=None)
+    xattn.set_xattn_impl("pallas", interpret=True)
+    out = xattn.cross_attn_head1_auto(*args, scale=D ** -0.5, perm=None)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
