@@ -230,37 +230,34 @@ class LayerNormParams(nn.Module):
         return scale, bias
 
 
-class CrossAttentionHead1(nn.Module):
-    """dim_head=1 cross-attention over raw params: the query-side LN, q/out
-    projections, softmax and residual run through ops.xattn (fused Pallas
-    kernel on TPU; equivalent XLA broadcast path elsewhere). Param tree is
-    identical to CrossAttentionBlock's. `perm` (one-hot, optional) folds the
-    caller's feature permutation into the kernel — x arrives pre-norm and
-    pre-permutation; the return includes the residual `x @ perm`."""
+class CrossAttnParams(nn.Module):
+    """Declares Cross_Attention-compatible params (child `<name>/to_*`,
+    Dense-identical inits) and returns the raw arrays for fused paths."""
 
     dim: int
     heads: int
 
     @nn.compact
-    def __call__(self, x, m, ln_scale, ln_bias, perm=None):
-        from ..ops.xattn import cross_attn_head1_auto
-
+    def __call__(self, m_dim: int):
         inner = self.heads
         wq, _ = DenseParams(inner, use_bias=False, name="to_q")(self.dim)
-        wk, _ = DenseParams(inner, use_bias=False, name="to_k")(m.shape[-1])
-        wv, _ = DenseParams(inner, use_bias=False, name="to_v")(m.shape[-1])
+        wk, _ = DenseParams(inner, use_bias=False, name="to_k")(m_dim)
+        wv, _ = DenseParams(inner, use_bias=False, name="to_v")(m_dim)
         wo, bo = DenseParams(self.dim, name="to_out")(inner)
-        dt = m.dtype
-        m32 = m.astype(jnp.float32)
-        mu = jnp.mean(m32, axis=-1, keepdims=True)
-        var = jnp.mean(m32 * m32, axis=-1, keepdims=True) - mu * mu
-        m_n = ((m32 - mu) * jax.lax.rsqrt(var + 1e-5)
-               * ln_scale + ln_bias).astype(dt)
-        k = jnp.matmul(m_n, wk.astype(dt))
-        v = jnp.matmul(m_n, wv.astype(dt))
-        return cross_attn_head1_auto(
-            x, ln_scale, ln_bias, wq, k, v, wo, bo,
-            scale=self.dim ** -0.5, perm=perm)
+        return wq, wk, wv, wo, bo
+
+
+class FFParams(nn.Module):
+    """Declares FeedForward-compatible params (child `<name>/fc{1,2}`)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = DenseParams(self.hidden, name="fc1")(self.dim)
+        w2, b2 = DenseParams(self.dim, name="fc2")(self.hidden)
+        return w1, b1, w2, b2
 
 
 class CrossAttentionBlock(nn.Module):
@@ -350,16 +347,31 @@ class CrossTransformerLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, m: jnp.ndarray, perm=None) -> jnp.ndarray:
         if self.dim_head == 1:
             # dim_head=1 hot path: raw-param route so the fused TPU kernel
-            # (ops/pallas/xattn.py) can absorb LN + projections + softmax +
-            # residual in one pass; param tree unchanged.
-            g, b = LayerNormParams(name="norm1")(self.dim)
-            x = CrossAttentionHead1(self.dim, self.heads, name="attn")(
-                x, m, g, b, perm)
-        else:
-            assert perm is None, "perm folding only on the dim_head=1 path"
-            norm = layer_norm(name="norm1")
-            x = CrossAttentionBlock(self.dim, self.heads, self.dim_head, name="attn")(
-                norm(x), norm(m)
-            ) + x
+            # (ops/pallas/xattn.py) can absorb the WHOLE layer — LN1,
+            # projections, softmax, residual, LN2, MLP, residual — in one
+            # HBM pass; param tree unchanged.
+            from ..ops.xattn import cross_layer_head1_auto
+
+            g1, b1 = LayerNormParams(name="norm1")(self.dim)
+            wq, wk, wv, wo, bo = CrossAttnParams(
+                self.dim, self.heads, name="attn")(m.shape[-1])
+            g2, b2 = LayerNormParams(name="norm2")(self.dim)
+            w1, bb1, w2, bb2 = FFParams(self.dim, self.mlp_dim, name="ff")()
+            dt = m.dtype
+            m32 = m.astype(jnp.float32)
+            mu = jnp.mean(m32, axis=-1, keepdims=True)
+            var = jnp.mean(m32 * m32, axis=-1, keepdims=True) - mu * mu
+            m_n = ((m32 - mu) * jax.lax.rsqrt(var + 1e-5)
+                   * g1 + b1).astype(dt)
+            k = jnp.matmul(m_n, wk.astype(dt))
+            v = jnp.matmul(m_n, wv.astype(dt))
+            return cross_layer_head1_auto(
+                x, g1, b1, wq, k, v, wo, bo, g2, b2, w1, bb1, w2, bb2,
+                scale=self.dim ** -0.5, perm=perm)
+        assert perm is None, "perm folding only on the dim_head=1 path"
+        norm = layer_norm(name="norm1")
+        x = CrossAttentionBlock(self.dim, self.heads, self.dim_head, name="attn")(
+            norm(x), norm(m)
+        ) + x
         x = FeedForward(self.dim, self.mlp_dim, name="ff")(layer_norm(name="norm2")(x)) + x
         return x

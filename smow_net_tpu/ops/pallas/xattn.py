@@ -50,9 +50,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cross_attn_head1_pallas", "xattn_supported"]
+__all__ = ["cross_attn_head1_pallas", "xattn_supported",
+           "cross_layer_head1_pallas", "xlayer_supported"]
 
-_TILE_N = 512
+_TILE_N = int(__import__("os").environ.get("XATTN_TILE", "512"))
 _TILE_N_BWD = 256
 _DEN_FLOOR = 1e-30
 
@@ -268,3 +269,286 @@ def _vjp_bwd(eps, has_perm, interpret, res, gy):
 
 
 cross_attn_head1_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Full-layer kernel: attention (+residual) AND the PreNorm MLP (+residual)
+# in one HBM pass — the whole reference TransformerDecoder layer
+# (models/SMOW_Net.py:285-303). Design notes:
+#   * q is computed from RAW x via the LN fold
+#       q = r1*(x @ wq) - (r1*mu1) * colsum(wq) + bq
+#     so the normalized tensor is never materialized in the forward;
+#     likewise hpre from raw y1. The colsums are loop-invariant in-kernel
+#     sublane reductions.
+#   * when the caller folds a lane permutation, [P | wq] concatenate into
+#     ONE matmul; P leads so both lane slices stay tile-aligned.
+#   * [V | G] arrive pre-concatenated (vg_exp), so softmax numerator and
+#     denominator come from one matmul.
+#   * exact GELU (erf) in fp32, matching jax.nn.gelu(approximate=False).
+
+_TILE_L = int(__import__("os").environ.get("XLAYER_TILE", "1024"))
+_TILE_L_BWD = int(__import__("os").environ.get("XLAYER_TILE_BWD", "512"))
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _erf(x):
+    """erf for Mosaic (no native lowering): Abramowitz-Stegun 7.1.26
+    rational approximation, max abs error 1.5e-7 (fp32-ulp level for the
+    exact-GELU use). Built on exp, which Mosaic lowers natively."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.where(x < 0.0, -y, y)
+
+
+def xlayer_supported(n: int, d: int, heads: int, m: int, hidden: int) -> bool:
+    return (
+        n % max(_TILE_L, _TILE_L_BWD) == 0
+        and d % 128 == 0
+        and d <= 512
+        and hidden % 128 == 0
+        and hidden <= 1024
+        and heads * m <= 128
+        and heads % 8 == 0
+    )
+
+
+def _layer_core(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
+                perm_ref, w1_ref, b1_ref, *, eps, has_perm):
+    """Shared fwd compute up to (and including) hg; returns everything the
+    backward needs to finish the MLP and attention chains."""
+    x = x_ref[0]
+    dt = x.dtype
+    prec = _prec(dt)
+    x32 = x.astype(jnp.float32)
+    mu1 = jnp.mean(x32, axis=-1, keepdims=True)
+    var1 = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu1 * mu1
+    r1 = jax.lax.rsqrt(var1 + eps)
+
+    wq = wq_ref[...].astype(dt)
+    if has_perm:
+        wcat = jnp.concatenate([perm_ref[...].astype(dt), wq], axis=1)
+        xw = _dot(x, wcat, ((1,), (0,)), prec)      # (TN, D + h) f32
+        d = x.shape[-1]
+        res = xw[:, :d]
+        qraw = xw[:, d:]
+    else:
+        res = x32
+        qraw = _dot(x, wq, ((1,), (0,)), prec)
+    csq = jnp.sum(wq_ref[...].astype(jnp.float32), axis=0, keepdims=True)
+    q = r1 * qraw - (r1 * mu1) * csq + bq_ref[...].astype(jnp.float32)
+
+    dots = _dot(q.astype(dt), k_ref[0].astype(dt), ((1,), (0,)), prec)
+    rmax = jnp.max(dots, axis=-1, keepdims=True)
+    e = jnp.exp(dots - rmax)                        # (TN, h*M) f32
+    nd = _dot(e.astype(dt), vg_ref[0].astype(dt), ((1,), (0,)), prec)
+    h = nd.shape[-1] // 2
+    den = jnp.maximum(nd[:, h:], _DEN_FLOOR)
+    o = nd[:, :h] / den                             # (TN, h) f32
+
+    y1 = _dot(o.astype(dt), wo_ref[...].astype(dt), ((1,), (0,)), prec)
+    y1 = y1 + bo_ref[...].astype(jnp.float32) + res
+
+    mu2 = jnp.mean(y1, axis=-1, keepdims=True)
+    var2 = jnp.mean(y1 * y1, axis=-1, keepdims=True) - mu2 * mu2
+    r2 = jax.lax.rsqrt(var2 + eps)
+    y1d = y1.astype(dt)
+    hw = _dot(y1d, w1_ref[...].astype(dt), ((1,), (0,)), prec)
+    cs1 = jnp.sum(w1_ref[...].astype(jnp.float32), axis=0, keepdims=True)
+    hpre = r2 * hw - (r2 * mu2) * cs1 + b1_ref[...].astype(jnp.float32)
+    hg = 0.5 * hpre * (1.0 + _erf(hpre * _INV_SQRT2))
+    return (x, x32, mu1, r1, q, e, den, o, y1, mu2, r2, hpre, hg, prec)
+
+
+def _layer_fwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
+                      perm_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+                      eps: float, has_perm: bool):
+    (x, x32, mu1, r1, q, e, den, o, y1, mu2, r2, hpre, hg,
+     prec) = _layer_core(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref,
+                         bo_ref, perm_ref, w1_ref, b1_ref,
+                         eps=eps, has_perm=has_perm)
+    dt = x.dtype
+    y2 = _dot(hg.astype(dt), w2_ref[...].astype(dt), ((1,), (0,)), prec)
+    out_ref[0] = (y2 + b2_ref[...].astype(jnp.float32) + y1).astype(out_ref.dtype)
+
+
+def _layer_bwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
+                      perm_ref, w1_ref, b1_ref, w2_ref, g_ref,
+                      dx_ref, dwq_ref, dbq_ref, dk_ref, dvg_ref, dwo_ref,
+                      dbo_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+                      eps: float, has_perm: bool):
+    (x, x32, mu1, r1, q, e, den, o, y1, mu2, r2, hpre, hg,
+     prec) = _layer_core(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref,
+                         bo_ref, perm_ref, w1_ref, b1_ref,
+                         eps=eps, has_perm=has_perm)
+    dt = x.dtype
+    g2 = g_ref[0].astype(jnp.float32)
+    g2d = g2.astype(dt)
+
+    # MLP chain (y2 = hg @ w2 + b2 + y1; hpre == y1n @ w1_eff + b1_eff)
+    dhg = _dot(g2d, w2_ref[...].astype(dt), ((1,), (1,)), prec)  # (TN, hid)
+    phi = jnp.exp(-0.5 * hpre * hpre) * _INV_SQRT_2PI
+    cdf = 0.5 * (1.0 + _erf(hpre * _INV_SQRT2))
+    dhpre = dhg * (cdf + hpre * phi)
+    dhpre_d = dhpre.astype(dt)
+    y1n = (y1 - mu2) * r2
+    y1nd = y1n.astype(dt)
+    dy1n = _dot(dhpre_d, w1_ref[...].astype(dt), ((1,), (1,)), prec)
+    m1 = jnp.mean(dy1n, axis=-1, keepdims=True)
+    m2 = jnp.mean(dy1n * y1n, axis=-1, keepdims=True)
+    dy1 = r2 * (dy1n - m1 - y1n * m2) + g2
+    dy1d = dy1.astype(dt)
+
+    # attention chain (g := dy1)
+    do = _dot(dy1d, wo_ref[...].astype(dt), ((1,), (1,)), prec)  # (TN, h)
+    dnum = do / den
+    dden = -do * o / den
+    dnd = jnp.concatenate([dnum, dden], axis=1)      # (TN, 2h)
+    dnd_d = dnd.astype(dt)
+    de = _dot(dnd_d, vg_ref[0].astype(dt), ((1,), (1,)), prec)   # (TN, h*M)
+    dd = e * de
+    ddd = dd.astype(dt)
+    dq = _dot(ddd, k_ref[0].astype(dt), ((1,), (1,)), prec)      # (TN, h)
+    dqd = dq.astype(dt)
+    dxn = _dot(dqd, wq_ref[...].astype(dt), ((1,), (1,)), prec)  # (TN, D)
+    xn = (x32 - mu1) * r1
+    xnd = xn.astype(dt)
+    n1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    n2 = jnp.mean(dxn * xn, axis=-1, keepdims=True)
+    dx = r1 * (dxn - n1 - xn * n2)
+    if has_perm:
+        dx = dx + _dot(dy1d, perm_ref[...].astype(dt), ((1,), (1,)), prec)
+    else:
+        dx = dx + dy1
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dvg_ref[0] = jnp.zeros_like(dvg_ref[0])
+
+    ed = e.astype(dt)
+    od = o.astype(dt)
+    hgd = hg.astype(dt)
+    dwq_ref[...] += _dot(xnd, dqd, ((0,), (0,)), prec)           # (D, h)
+    dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
+    dk_ref[0] += _dot(q.astype(dt), ddd, ((0,), (0,)), prec)     # (h, h*M)
+    dvg_ref[0] += _dot(ed, dnd_d, ((0,), (0,)), prec)            # (h*M, 2h)
+    dwo_ref[...] += _dot(od, dy1d, ((0,), (0,)), prec)           # (h, D)
+    dbo_ref[...] += jnp.sum(dy1, axis=0, keepdims=True)
+    dw1_ref[...] += _dot(y1nd, dhpre_d, ((0,), (0,)), prec)      # (D, hid)
+    db1_ref[...] += jnp.sum(dhpre, axis=0, keepdims=True)
+    dw2_ref[...] += _dot(hgd, g2d, ((0,), (0,)), prec)           # (hid, D)
+    db2_ref[...] += jnp.sum(g2, axis=0, keepdims=True)
+
+
+def _layer_specs(B, N, D, h, hm, hid, tile):
+    const = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s),
+                                    memory_space=pltpu.VMEM)
+    perb = lambda *s: pl.BlockSpec((1,) + s, lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    tile_s = pl.BlockSpec((1, tile, D), lambda b, t: (b, t, 0),
+                          memory_space=pltpu.VMEM)
+    ins = [tile_s, const(D, h), const(1, h), perb(h, hm), perb(hm, 2 * h),
+           const(h, D), const(1, D), const(D, D), const(D, hid),
+           const(1, hid), const(hid, D), const(1, D)]
+    return const, perb, tile_s, ins
+
+
+def _run_layer_fwd(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2,
+                   eps, has_perm, interpret):
+    B, N, D = x.shape
+    h = wq.shape[1]
+    hm = k.shape[-1]
+    hid = w1.shape[1]
+    kernel = functools.partial(_layer_fwd_kernel, eps=eps, has_perm=has_perm)
+    _, _, tile_s, ins = _layer_specs(B, N, D, h, hm, hid, _TILE_L)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // _TILE_L),
+        in_specs=ins,
+        out_specs=tile_s,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def cross_layer_head1_pallas(x, wq_eff, bq_eff, k_exp, vg_exp, w_out, b_out,
+                             perm, w1_eff, b1_eff, w2, b2,
+                             eps: float = 1e-5, has_perm: bool = True,
+                             interpret: bool = False):
+    """Whole TransformerDecoder layer fused: LN1 + dim_head=1 cross-attn +
+    residual + LN2 + exact-GELU MLP + residual, one HBM pass each way.
+
+    vg_exp: (B, h*M, 2h) = [V | G] (value expansion | group-sum indicator)
+    w1_eff: (D, hidden) = diag(ln2_scale) w1;  b1_eff = ln2_bias@w1 + b1
+    (other args as cross_attn_head1_pallas)."""
+    return _run_layer_fwd(x, wq_eff, bq_eff, k_exp, vg_exp, w_out, b_out,
+                          perm, w1_eff, b1_eff, w2, b2, eps, has_perm,
+                          interpret)
+
+
+def _layer_vjp_fwd(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2,
+                   eps, has_perm, interpret):
+    y = _run_layer_fwd(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2,
+                       eps, has_perm, interpret)
+    return y, (x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2)
+
+
+def _layer_vjp_bwd(eps, has_perm, interpret, res, gy):
+    x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2 = res
+    B, N, D = x.shape
+    h = wq.shape[1]
+    hm = k.shape[-1]
+    hid = w1.shape[1]
+    kernel = functools.partial(_layer_bwd_kernel, eps=eps, has_perm=has_perm)
+    const, perb, tile_s, ins = _layer_specs(B, N, D, h, hm, hid, _TILE_L_BWD)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, N // _TILE_L_BWD),
+        in_specs=ins[:11] + [tile_s],
+        out_specs=(tile_s, const(D, h), const(1, h), perb(h, hm),
+                   perb(hm, 2 * h), const(h, D), const(1, D), const(D, hid),
+                   const(1, hid), const(hid, D), const(1, D)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), x.dtype),
+            jax.ShapeDtypeStruct((D, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((B, h, hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, hm, 2 * h), jnp.float32),
+            jax.ShapeDtypeStruct((h, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, hid), jnp.float32),
+            jax.ShapeDtypeStruct((1, hid), jnp.float32),
+            jax.ShapeDtypeStruct((hid, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, gy)
+    (dx, dwq, dbq, dk, dvg, dwo, dbo, dw1, db1, dw2, db2) = outs
+    cast = lambda g, ref: g.astype(ref.dtype)
+    return (dx, cast(dwq, wq), cast(dbq, bq), cast(dk, k), cast(dvg, vg),
+            cast(dwo, wo), cast(dbo, bo), jnp.zeros_like(perm),
+            cast(dw1, w1), cast(db1, b1), cast(dw2, w2), cast(db2, w2))
+
+
+cross_layer_head1_pallas.defvjp(_layer_vjp_fwd, _layer_vjp_bwd)

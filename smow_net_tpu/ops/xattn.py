@@ -22,7 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cross_attn_head1", "cross_attn_head1_auto", "set_xattn_impl"]
+__all__ = ["cross_attn_head1", "cross_attn_head1_auto", "cross_layer_head1",
+           "cross_layer_head1_auto", "set_xattn_impl"]
 
 _IMPL = "auto"
 _INTERPRET = False
@@ -80,6 +81,61 @@ def cross_attn_head1(x, ln_scale, ln_bias, wq, k, v, w_out, b_out, *,
     attn = jax.nn.softmax(dots, axis=-1)
     o = jnp.sum(attn * vT.astype(jnp.float32), axis=-1).astype(dt)
     return jnp.matmul(o, w_out.astype(dt)) + b_out.astype(dt) + x_c
+
+
+def cross_layer_head1(x, ln1_scale, ln1_bias, wq, k, v, w_out, b_out,
+                      ln2_scale, ln2_bias, w1, b1, w2, b2, *,
+                      scale, perm=None, eps=1e-5):
+    """Portable XLA path for the FULL decoder layer: dim_head=1 cross-
+    attention (+residual) then PreNorm MLP with exact GELU (+residual) —
+    the reference TransformerDecoder layer (models/SMOW_Net.py:285-303)."""
+    y1 = cross_attn_head1(x, ln1_scale, ln1_bias, wq, k, v, w_out, b_out,
+                          scale=scale, perm=perm, eps=eps)
+    dt = y1.dtype
+    y32 = y1.astype(jnp.float32)
+    mu = jnp.mean(y32, axis=-1, keepdims=True)
+    var = jnp.mean(y32 * y32, axis=-1, keepdims=True) - mu * mu
+    yn = ((y32 - mu) * jax.lax.rsqrt(var + eps)
+          * ln2_scale + ln2_bias).astype(dt)
+    h = jnp.matmul(yn, w1.astype(dt)) + b1.astype(dt)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dt)
+    return jnp.matmul(h, w2.astype(dt)) + b2.astype(dt) + y1
+
+
+def cross_layer_head1_auto(x, ln1_scale, ln1_bias, wq, k, v, w_out, b_out,
+                           ln2_scale, ln2_bias, w1, b1, w2, b2, *,
+                           scale, perm=None, eps=1e-5):
+    """Route the full layer to the fused Pallas kernel on TPU (supported
+    shapes), else the portable path above."""
+    from .pallas.xattn import cross_layer_head1_pallas, xlayer_supported
+
+    B, N, Dm = x.shape
+    M, h = k.shape[1], k.shape[2]
+    hidden = w1.shape[1]
+    impl = _IMPL
+    if impl == "auto":
+        impl = "pallas" if (jax.default_backend() == "tpu"
+                            and xlayer_supported(N, Dm, h, M, hidden)) else "xla"
+    if impl == "pallas" and not xlayer_supported(N, Dm, h, M, hidden):
+        impl = "xla"
+    if impl == "xla":
+        return cross_layer_head1(
+            x, ln1_scale, ln1_bias, wq, k, v, w_out, b_out,
+            ln2_scale, ln2_bias, w1, b1, w2, b2,
+            scale=scale, perm=perm, eps=eps)
+    wq_eff, bq_eff = _fold_q(ln1_scale, ln1_bias, wq, perm)
+    k_exp, v_exp = _expansions(k, v, scale)
+    # [V|G] combined so num and den come from one matmul
+    sel = jnp.repeat(jnp.eye(h, dtype=v_exp.dtype), M, axis=1)  # (h, h*M)
+    vg_exp = jnp.concatenate(
+        [v_exp, jnp.broadcast_to(sel.T[None], v_exp.shape)], axis=-1)
+    w1_eff = ln2_scale[:, None] * w1
+    b1_eff = (ln2_bias @ w1 + b1)[None, :]
+    has_perm = perm is not None
+    perm_in = (perm if has_perm else jnp.zeros((Dm, Dm), x.dtype))
+    return cross_layer_head1_pallas(
+        x, wq_eff, bq_eff, k_exp, vg_exp, w_out, b_out[None, :], perm_in,
+        w1_eff, b1_eff, w2, b2[None, :], eps, has_perm, _INTERPRET)
 
 
 def cross_attn_head1_auto(x, ln_scale, ln_bias, wq, k, v, w_out, b_out, *,

@@ -102,6 +102,62 @@ def test_decoder_folded_perm_equals_manual_cmajor():
                                rtol=1e-5, atol=1e-5)
 
 
+def _layer_inputs(seed, dtype=jnp.float32, hidden=256):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 14)
+    x = jax.random.normal(ks[0], (B, N, D), dtype)
+    ln1_s = jax.random.normal(ks[1], (D,), jnp.float32) * 0.2 + 1.0
+    ln1_b = jax.random.normal(ks[2], (D,), jnp.float32) * 0.1
+    wq = jax.random.normal(ks[3], (D, H_), dtype) * 0.1
+    k = jax.random.normal(ks[4], (B, M_, H_), dtype)
+    v = jax.random.normal(ks[5], (B, M_, H_), dtype)
+    wo = jax.random.normal(ks[6], (H_, D), dtype) * 0.1
+    bo = jax.random.normal(ks[7], (D,), dtype) * 0.1
+    ln2_s = jax.random.normal(ks[8], (D,), jnp.float32) * 0.2 + 1.0
+    ln2_b = jax.random.normal(ks[9], (D,), jnp.float32) * 0.1
+    w1 = jax.random.normal(ks[10], (D, hidden), dtype) * 0.1
+    b1 = jax.random.normal(ks[11], (hidden,), dtype) * 0.1
+    w2 = jax.random.normal(ks[12], (hidden, D), dtype) * 0.1
+    b2 = jax.random.normal(ks[13], (D,), dtype) * 0.1
+    return (x, ln1_s, ln1_b, wq, k, v, wo, bo, ln2_s, ln2_b, w1, b1, w2, b2)
+
+
+@pytest.mark.parametrize("use_perm", [False, True])
+def test_layer_fwd_matches_xla(use_perm):
+    args = _layer_inputs(5)
+    perm = _perm() if use_perm else None
+    ref = xattn.cross_layer_head1(*args, scale=D ** -0.5, perm=perm)
+    xattn.set_xattn_impl("pallas", interpret=True)
+    out = xattn.cross_layer_head1_auto(*args, scale=D ** -0.5, perm=perm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("use_perm", [False, True])
+def test_layer_grads_match_xla(use_perm):
+    args = _layer_inputs(6)
+    perm = _perm() if use_perm else None
+    cot = jax.random.normal(jax.random.PRNGKey(11), (B, N, D), jnp.float32)
+
+    def grads(impl):
+        def f(*a):
+            if impl == "pallas":
+                xattn.set_xattn_impl("pallas", interpret=True)
+            else:
+                xattn.set_xattn_impl("xla")
+            y = xattn.cross_layer_head1_auto(*a, scale=D ** -0.5, perm=perm)
+            return jnp.sum(y * cot)
+        return jax.grad(f, argnums=tuple(range(14)))(*args)
+
+    g_ref = grads("xla")
+    g_pal = grads("pallas")
+    names = ["x", "ln1_s", "ln1_b", "wq", "k", "v", "wo", "bo",
+             "ln2_s", "ln2_b", "w1", "b1", "w2", "b2"]
+    for name, gr, gp in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), rtol=5e-4, atol=5e-4,
+            err_msg=f"layer grad mismatch for {name}")
+
+
 def test_bf16_fwd_close(
 ):
     args = _inputs(4, jnp.bfloat16)
