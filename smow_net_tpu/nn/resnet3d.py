@@ -28,7 +28,27 @@ from ..ops.pooling import max_pool
 from ..utils import torch_init
 from .layers import batch_norm
 
-__all__ = ["DecomposedConv3d", "BasicBlock3d", "ResNet3D", "fold_t", "unfold_t"]
+__all__ = ["DecomposedConv3d", "BasicBlock3d", "ResNet3D", "fold_t", "unfold_t",
+           "set_folded_impl"]
+
+# Folded-path lowering for DecomposedConv3d:
+#   "grouped" — grouped spatial conv (G=2, frame-tiled kernel) + one (2C,2C)
+#               temporal-mix matmul;
+#   "dense"   — the two fused into ONE ungrouped conv whose kernel is
+#               blockdiag(spatial) @ mix. 2x MACs, full MXU lanes (the
+#               encoder's C=64..512 stages run the MXU half-empty as groups).
+#   "auto"    — dense for inference, grouped under training. Measured on v5e
+#               (bs16, 256², bf16, tools/probe_resnet_dense.py): whole-encoder
+#               fwd 5.56 -> 4.12 ms (1.35x) with dense, but fwd+bwd 20.6 ->
+#               22.4 ms (the doubled MACs dominate dgrad/wgrad), hence the
+#               mode split.
+_FOLDED_IMPL = "auto"
+
+
+def set_folded_impl(name: str):
+    assert name in ("auto", "grouped", "dense"), name
+    global _FOLDED_IMPL
+    _FOLDED_IMPL = name
 
 
 def fold_t(x: jnp.ndarray) -> jnp.ndarray:
@@ -82,7 +102,8 @@ class DecomposedConv3d(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, fold_output: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fold_output: bool = False,
+                 train: bool = False) -> jnp.ndarray:
         k, s, p = self.kernel_size, self.stride, self.padding
         F = self.features
         folded = x.ndim == 4
@@ -106,6 +127,19 @@ class DecomposedConv3d(nn.Module):
             f1 = y_id[:, 0:1] + convops.conv(y[:, 1:2], k_bwd.astype(dt))
             f2 = convops.conv(y[:, 0:1], k_fwd.astype(dt)) + y_id[:, 1:2]
             return jnp.concatenate([f1, f2], axis=1)
+        dense = (_FOLDED_IMPL == "dense"
+                 or (_FOLDED_IMPL == "auto" and not train))
+        if dense:
+            # ONE dense conv: kernel = blockdiag(frame-tiled spatial) @ mix,
+            # i.e. K[h,w,t*Cin+c, o] = sum_f ks[h,w,c,f] * mix[t*F+f, o].
+            # 2x the MACs of the grouped form but full MXU lanes on both
+            # sides and no separate mix pass (measured faster on v5e at the
+            # encoder's small-C stages; tools/probe_resnet.py).
+            kd = jnp.einsum("hwcf,tfo->hwtco", ks[0].astype(dt),
+                            mix.reshape(2, F, 2 * F)).reshape(
+                                self.kernel_size, self.kernel_size,
+                                2 * Cin, 2 * F)
+            return convops.conv(x, kd, (s, s), (p, p))
         # folded: grouped spatial conv (frame-tiled kernel), one (2F,2F) mix
         tiled = jnp.concatenate([ks[0], ks[0]], axis=-1).astype(dt)
         y = convops.conv(x, tiled, (s, s), (p, p), 1, 2)
@@ -124,10 +158,12 @@ class BasicBlock3d(nn.Module):
         folded = x.ndim == 4
         in_c = x.shape[-1] // 2 if folded else x.shape[-1]
         residual = x
-        y = DecomposedConv3d(self.features, 3, self.stride, 1, name="conv1")(x)
+        y = DecomposedConv3d(self.features, 3, self.stride, 1,
+                             name="conv1")(x, train=train)
         y = _bn_apply(batch_norm("bn1"), y, train, 2)
         y = nn.relu(y)
-        y = DecomposedConv3d(self.features, 3, 1, 1, name="conv2")(y)
+        y = DecomposedConv3d(self.features, 3, 1, 1,
+                             name="conv2")(y, train=train)
         y = _bn_apply(batch_norm("bn2"), y, train, 2)
         if self.stride != 1 or in_c != self.features:
             kd = _Kern((1, 1, 1, in_c, self.features),

@@ -92,3 +92,32 @@ def test_fused_ofw_tokens_matches_legacy():
     o1 = leg.apply(v, x)
     o2 = fus.apply(v, x)
     assert float(jnp.max(jnp.abs(o1 - o2))) < 1e-5
+
+
+def test_folded_dense_impl_matches_grouped():
+    """The fused dense lowering of DecomposedConv3d (blockdiag(spatial)@mix
+    as ONE conv kernel) is an exact rewrite of grouped-conv+mix: whole
+    encoder outputs agree, and auto mode under train=True is bit-identical
+    to grouped (same lowering)."""
+    from smow_net_tpu.nn import resnet3d
+    from smow_net_tpu.nn.resnet3d import ResNet3D
+
+    r, k = jax.random.normal, jax.random.PRNGKey
+    x = r(k(0), (2, 64, 64, 6), jnp.float32)
+    enc = ResNet3D()
+    v = enc.init(k(1), x, False)
+    try:
+        resnet3d.set_folded_impl("grouped")
+        a0, fa = enc.apply(v, x, False)
+        resnet3d.set_folded_impl("auto")
+        b0, fb = enc.apply(v, x, False)  # inference -> dense
+        (c0, fc), _ = enc.apply(v, x, True, mutable=["batch_stats"])
+        resnet3d.set_folded_impl("grouped")
+        (d0, fd), _ = enc.apply(v, x, True, mutable=["batch_stats"])
+    finally:
+        resnet3d.set_folded_impl("auto")
+    for p, q in zip([a0] + list(fa), [b0] + list(fb)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   atol=5e-5, rtol=1e-4)
+    for p, q in zip([c0] + list(fc), [d0] + list(fd)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(q))
