@@ -87,6 +87,29 @@ def _bn_apply(bn: nn.Module, y: jnp.ndarray, train: bool, T: int) -> jnp.ndarray
     return bn(y, use_running_average=not train)
 
 
+def _s2d_conv_7s2(x: jnp.ndarray, kd: jnp.ndarray) -> jnp.ndarray:
+    """Exact space-to-depth rewrite of a 7x7 stride-2 pad-3 conv as a 4x4
+    stride-1 conv on 2x2-blocked input (4x the input channels). The stem's
+    tiny C_in leaves the MXU almost idle on the direct form; s2d quadruples
+    the contraction depth and halves the spatial extent. Derivation: pad the
+    kernel to 8x8 at offset (1,1); out[i] = sum_u k8[u] x[2i+u-4]; writing
+    u = 2p+d gives a 4-tap conv over s2d pixels with padding (2,1).
+    Parity: tools/probe_resnet.py (2.3e-7 f32), tests/test_smow_net.py."""
+    k, _, Ci, Co = kd.shape
+    assert k == 7, k
+    k8 = jnp.pad(kd, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k4 = k8.reshape(4, 2, 4, 2, Ci, Co).transpose(0, 2, 1, 3, 4, 5)
+    k4 = k4.reshape(4, 4, 4 * Ci, Co)
+    B, H, W, C = x.shape
+    z = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    z = z.reshape(B, H // 2, W // 2, 4 * C)
+    from jax import lax
+    return lax.conv_general_dilated(
+        z, k4, (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=z.dtype)
+
+
 class DecomposedConv3d(nn.Module):
     """Spatial conv over each frame + cyclic temporal 1x1x1 mix for T=2
     (reference Decompose_conv, models/SMOW_Net.py:443-473).
@@ -137,8 +160,9 @@ class DecomposedConv3d(nn.Module):
             # encoder's small-C stages; tools/probe_resnet.py).
             kd = jnp.einsum("hwcf,tfo->hwtco", ks[0].astype(dt),
                             mix.reshape(2, F, 2 * F)).reshape(
-                                self.kernel_size, self.kernel_size,
-                                2 * Cin, 2 * F)
+                                k, k, 2 * Cin, 2 * F)
+            if k == 7 and s == 2 and p == 3:
+                return _s2d_conv_7s2(x, kd)
             return convops.conv(x, kd, (s, s), (p, p))
         # folded: grouped spatial conv (frame-tiled kernel), one (2F,2F) mix
         tiled = jnp.concatenate([ks[0], ks[0]], axis=-1).astype(dt)
@@ -210,10 +234,16 @@ class ResNet3D(nn.Module):
     def stem_forward(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         folded = x.ndim == 4
         if folded:
-            # unfold -> per-frame batched 7x7 (grouped convs on 3 input
-            # channels measured slower) -> fold before the temporal mix;
-            # everything downstream stays folded
-            y = self.stem(unfold_t(x, 2), fold_output=True)
+            if _FOLDED_IMPL == "dense" or (_FOLDED_IMPL == "auto" and not train):
+                # fused s2d stem: blockdiag(7x7)@mix as one 4x4 dense conv
+                # on 2x2-blocked input — no unfold/fold transposes, no
+                # standalone mix pass (_s2d_conv_7s2)
+                y = self.stem(x, train=train)
+            else:
+                # unfold -> per-frame batched 7x7 (grouped convs on 3 input
+                # channels measured slower) -> fold before the temporal mix;
+                # everything downstream stays folded
+                y = self.stem(unfold_t(x, 2), fold_output=True)
         else:
             y = self.stem(x)
         y = _bn_apply(self.bn1, y, train, 2)

@@ -72,6 +72,9 @@ def main():
         timeit(f"encoder whole ({impl})",
                lambda a: enc.apply(v, a, False), x)
 
+    if os.environ.get("PB_SKIP_BWD", "0") == "1":
+        return
+
     # training step matters too: fwd+bwd through the encoder
     def lossf(a):
         x0, feats = enc.apply(v, a, False)
