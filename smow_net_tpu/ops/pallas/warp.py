@@ -59,6 +59,24 @@ _TILE_P = 256
 # tile; train-step A/Bs favoured the smaller tile for the backward pass
 # while the forward keeps 256.
 _TILE_P_BWD = 128
+# The transpose (scatter-as-matmul) kernel is a primal op on the fused OFW
+# token path and keeps only ~3 (W*C, tile) temporaries — no image block, no
+# weight-grad work — so it (and the forward kernel) pick their pixel tile
+# dynamically. Per-tile fixed cost (mask build, dxt accumulate pass)
+# dominates at C=8: measured marginal 1.7 -> 0.8 ms for 32 frames of 128^2
+# going 128 -> 1024 (tools/profile_breakdown.py PB_ONLY=ofwparts); the
+# forward kernel gains ~10% at 1024 too.
+
+
+def _pick_tile(P: int, wc: int, floor: int) -> int:
+    """Largest pixel tile <= 1024 dividing P whose ~4 (W*C, tile) fp32
+    temporaries stay within ~24 MB of VMEM (the image block, index rows and
+    pipelining head-room take the rest of the 48 MB limit)."""
+    cap = max(floor, (24 * 1024 * 1024) // (wc * 4 * 4))
+    t = 128
+    while t * 2 <= min(cap, 1024) and P % (t * 2) == 0:
+        t *= 2
+    return t
 # The backward kernel keeps ~10 (W*C, tile) fp32 temporaries live (one-hots,
 # lerps, expanded grads) plus the image and dx-accumulator blocks; at
 # tile=128 and W*C=4096 that needs ~18 MB of scoped VMEM (measured 17.96 MB
@@ -252,14 +270,15 @@ def grid_sample_transpose_pallas(g, grid, out_hw, padding_mode="border",
     idxw = _corner_indices_weights(grid, H, W, padding_mode, align_corners)
     gt = g.reshape(B, P, C).transpose(0, 2, 1)
 
+    tp = _pick_tile(P, W * C, floor=128)
     kernel = functools.partial(_t_kernel, H=H, W=W, C=C)
     dxt = pl.pallas_call(
         kernel,
-        grid=(B, P // _TILE_P_BWD),
+        grid=(B, P // tp),
         in_specs=[
-            pl.BlockSpec((1, 8, _TILE_P_BWD), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, _TILE_P_BWD), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, C, tp), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
@@ -284,7 +303,7 @@ def pallas_warp_supported(x_shape, grid_shape) -> bool:
     _, Hg, Wg, _ = grid_shape
     P = Hg * Wg
     return (
-        P % _TILE_P == 0
+        P % 128 == 0
         and W * C <= 4096
         and (W & (W - 1)) == 0
         and H % 8 == 0
@@ -338,17 +357,18 @@ def _forward(x, grid, padding_mode, align_corners, interpret=False):
     idxw = _corner_indices_weights(grid, H, W, padding_mode, align_corners)
     xt = x.reshape(B, H, W * C).transpose(0, 2, 1)  # (B, W*C, H), w-major lanes
 
+    tp = _pick_tile(P, W * C, floor=_TILE_P)
     kernel = functools.partial(_kernel, H=H, W=W, C=C)
     out = pl.pallas_call(
         kernel,
-        grid=(B, P // _TILE_P),
+        grid=(B, P // tp),
         in_specs=[
-            pl.BlockSpec((1, 8, _TILE_P), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C, _TILE_P), lambda b, t: (b, 0, t),
+        out_specs=pl.BlockSpec((1, C, tp), lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, P), x.dtype),
         compiler_params=pltpu.CompilerParams(

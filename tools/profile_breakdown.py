@@ -91,6 +91,74 @@ def main():
         timeit("token transformer encoder", TokenTransformerEncoder(32), t4,
                train_kw=False)
 
+    from smow_net_tpu.models.smow_net import ofw_tokens_fused
+
+    class FusedOFWTok(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return ofw_tokens_fused(OFW(32, name="ofw"),
+                                    TokenTransformerEncoder(32, name="te"),
+                                    x, train)
+
+    class FlowOnly(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return OFW(32, name="ofw").flow(x, train)
+
+    if full or only == "ofwtok":
+        timeit("OFW+tokens fused (model path)", FusedOFWTok(), x0r)
+        timeit("  OFW flow() only", FlowOnly(), x0r)
+
+    if only == "ofwparts":
+        from smow_net_tpu.ops.warp import flow_warp, flow_warp_transpose
+        from smow_net_tpu.ops.pallas import warp as pwarp
+
+        s2 = H // 2
+        a8 = r(k(40), (2 * BS, s2, s2, 8), bf)
+        fl8 = r(k(41), (2 * BS, s2, s2, 2), bf) * 3.0
+
+        class W8(nn.Module):
+            @nn.compact
+            def __call__(self, a, f):
+                return flow_warp(a, f)
+
+        for tile in (256, 512, 1024):
+            pwarp._TILE_P = tile
+            timeit(f"  warp fwd  C=8 tile={tile}", W8(), a8, fl8,
+                   train_kw=False)
+        pwarp._TILE_P = 256
+
+        class WT8(nn.Module):
+            @nn.compact
+            def __call__(self, a, f):
+                return flow_warp_transpose(a, f)
+
+        for tile in (128, 512, 1024):
+            pwarp._TILE_P_T = tile
+            timeit(f"  warp scat C=8 tile={tile}", WT8(), a8, fl8,
+                   train_kw=False)
+        pwarp._TILE_P_T = 512
+
+        lg = r(k(42), (BS, 4, s2 * s2, 8), bf)
+
+        class SM(nn.Module):
+            @nn.compact
+            def __call__(self, a):
+                return jax.nn.softmax(a, axis=2)
+
+        timeit("  softmax over 16k (B,4,n,8)", SM(), lg, train_kw=False)
+
+        att = r(k(43), (BS, 2, s2 * s2, 8), bf)
+        f0 = r(k(44), (BS, s2 * s2, 32), bf)
+
+        class Pool(nn.Module):
+            @nn.compact
+            def __call__(self, a, f):
+                return jnp.einsum("btnl,bnc->btlc", a, f)
+
+        timeit("  pool einsum (B,2,n,8)x(B,n,32)", Pool(), att, f0,
+               train_kw=False)
+
     from smow_net_tpu.models.smow_net import _cat_folded
 
     class Decoder(nn.Module):
