@@ -99,6 +99,14 @@ def _conv3d_decomposed(x, kernel, stride, pad, dilation, groups):
     return out
 
 
+# Depthwise convs (groups == C): a shift-multiply rewrite (tap-offset
+# strided slices x per-channel FMAs) was probed as an alternative to the
+# XLA grouped-conv lowering and REJECTED: strided taps relayout on TPU
+# (3.4x slower at the OFW down-conv shapes) and stride-1 taps measured
+# within noise of XLA's own lowering at SS2D/MobileNetV2/ELGCNet shapes
+# (tools/probe_dw.py) — XLA already lowers depthwise to VPU elementwise.
+
+
 def to_tuple(v, n: int) -> Tuple[int, ...]:
     if isinstance(v, (tuple, list)):
         assert len(v) == n, (v, n)
