@@ -319,12 +319,12 @@ class ConvBlock23d(nn.Module):
         T = 4
         Cin = x.shape[-1] // T
         k1, b1 = ConvParams((3, 3, 3, Cin, self.features), name="conv1")()
-        y = convops.conv(x, convops.tdense_kernel(k1.astype(x.dtype), T), (1, 1), (1, 1))
+        y = convops.conv3d_folded(x, k1.astype(x.dtype), T)
         y = y + jnp.tile(b1, T).astype(y.dtype)
         y = _bn_folded(batch_norm("bn1"), y, train, T)
         y = nn.leaky_relu(y, 0.2)
         k2, b2 = ConvParams((3, 3, 3, self.features, self.features), name="conv2")()
-        y = convops.conv(y, convops.tdense_kernel(k2.astype(y.dtype), T), (1, 1), (1, 1))
+        y = convops.conv3d_folded(y, k2.astype(y.dtype), T)
         y = y + jnp.tile(b2, T).astype(y.dtype)
         return _bn_folded(batch_norm("bn2"), y, train, T)
 

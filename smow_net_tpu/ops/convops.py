@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["conv", "conv_transpose", "to_tuple", "causal_conv1d",
-           "set_conv3d_impl", "tdense_kernel"]
+           "set_conv3d_impl", "tdense_kernel", "tsplit_kernels",
+           "conv3d_folded"]
 
 # 3-D convs with a short temporal kernel admit two exact rewrites:
 #   "decomposed" — kt batched 2-D convs over (B*T) frames + temporal shifts
@@ -33,7 +34,7 @@ _CONV3D_IMPL = "auto"
 
 
 def set_conv3d_impl(name: str):
-    assert name in ("auto", "xla", "decomposed", "tdense"), name
+    assert name in ("auto", "xla", "decomposed", "tdense", "tsplit"), name
     global _CONV3D_IMPL
     _CONV3D_IMPL = name
 
@@ -53,6 +54,55 @@ def tdense_kernel(kernel: jnp.ndarray, T: int) -> jnp.ndarray:
                 K2 = K2.at[:, :, ti * Cin:(ti + 1) * Cin,
                            to * Cout:(to + 1) * Cout].set(kernel[dt])
     return K2
+
+
+def tsplit_kernels(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split a (3, kh, kw, Cin, Cout) temporal-banded kernel for T=4 into
+    two contiguous-slab 2-D kernels (kh, kw, 3*Cin, 2*Cout): K_A maps input
+    frames {0,1,2} to output frames {0,1}, K_B maps {1,2,3} to {2,3}. Each
+    half has one zero block of six, so the pair executes 9*2*(3Cin)*(2Cout)
+    = 108*Cin*Cout MACs vs tdense's 144 (both vs 90 useful) while keeping
+    contiguous lane slabs and full contraction width."""
+    kt, kh, kw, Cin, Cout = kernel.shape
+    assert kt == 3, kt
+
+    def build(to0, ti0):
+        K = jnp.zeros((kh, kw, 3 * Cin, 2 * Cout), kernel.dtype)
+        for j, to in enumerate((to0, to0 + 1)):
+            for ti in range(ti0, ti0 + 3):
+                dt = ti - to + 1  # y[to] takes tap K[dt] from frame to+dt-1
+                if 0 <= dt < 3:
+                    K = K.at[:, :, (ti - ti0) * Cin:(ti - ti0 + 1) * Cin,
+                             j * Cout:(j + 1) * Cout].set(kernel[dt])
+        return K
+
+    return build(0, 0), build(2, 1)
+
+
+def conv3d_folded(x: jnp.ndarray, kernel: jnp.ndarray, T: int,
+                  stride=(1, 1), pad=(1, 1)) -> jnp.ndarray:
+    """3-D conv with unit temporal stride/dilation and 'same' temporal
+    padding on a T-FOLDED (B, H, W, T*Cin) tensor; kernel
+    (kt, kh, kw, Cin, Cout). Default: ONE tdense block-banded conv. The
+    two-slab banded split ("tsplit": 25% fewer MACs, contiguous lane slabs)
+    measured SLOWER on v5e at the decoder shapes (8.67 vs 7.32 ms for the
+    5-stage decoder, MFU 32 -> 21%) — the off-boundary channel slices
+    relayout and the two convs + concat lose XLA's single-conv fusion —
+    so it stays opt-in for future re-evaluation."""
+    kt = kernel.shape[0]
+    dt = x.dtype
+    if _CONV3D_IMPL == "tsplit" and T == 4 and kt == 3:
+        Cin = kernel.shape[3]
+        ka, kb = tsplit_kernels(kernel)
+        pads = [(pad[0], pad[0]), (pad[1], pad[1])]
+        ya = lax.conv_general_dilated(
+            x[..., :3 * Cin], ka, stride, pads,
+            dimension_numbers=_dim_numbers(2), preferred_element_type=dt)
+        yb = lax.conv_general_dilated(
+            x[..., Cin:], kb, stride, pads,
+            dimension_numbers=_dim_numbers(2), preferred_element_type=dt)
+        return jnp.concatenate([ya, yb], axis=-1)
+    return conv(x, tdense_kernel(kernel, T), stride, pad)
 
 
 def _conv3d_tdense(x, kernel, stride, pad, dilation):

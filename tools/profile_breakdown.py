@@ -59,6 +59,11 @@ def timeit(label, module, *args, train_kw=True):
 def main():
     import flax.linen as nn
 
+    impl = os.environ.get("PB_CONV3D")
+    if impl:
+        from smow_net_tpu.ops.convops import set_conv3d_impl
+        set_conv3d_impl(impl)
+
     from smow_net_tpu.models.smow_net import (
         OFW, BasicConv3d, ConvBlock23d, ConvTransBlock3d,
         PixelTransformerDecoder, TokenTransformerEncoder)
