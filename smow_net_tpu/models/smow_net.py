@@ -279,13 +279,18 @@ class ConvTransBlock3d(nn.Module):
         if folded:
             B, H, W, TC = x.shape
             Cin = TC // T
-            kernel, bias = ConvParams((1, k, k, Cin, self.features),
+            F = self.features
+            kernel, bias = ConvParams((1, k, k, Cin, F),
                                       transpose_fan=True, name="spatial")()
+            # NB a phase-packed 3x3 rewrite of this lhs-dilated convT
+            # (convops.conv_transpose_s2_phase) measured SLOWER in place
+            # (ConvTrans stack 3.36 -> 4.4 ms): the extra shuffle pass and
+            # the 36/25 phase padding outweigh the dilated form's low MFU.
             xu = unfold_t(x, T).reshape(B * T, H, W, Cin)
             y = convops.conv_transpose(xu, kernel[0].astype(x.dtype),
                                        (2, 2), (p, p), (1, 1))
-            y = y + bias.astype(y.dtype)
-            y = fold_t(y.reshape(B, T, y.shape[1], y.shape[2], self.features))
+            y = fold_t(y.reshape(B, T, y.shape[1], y.shape[2], F))
+            y = y + jnp.tile(bias, T).astype(y.dtype)
         else:
             from ..nn.layers import ConvTranspose
 

@@ -279,6 +279,40 @@ def conv_transpose(
     )
 
 
+def convt_s2_phase_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Phase-pack a (5, 5, Cin, F) stride-2 transposed-conv kernel (forward
+    layout, torch p=2/op=1) into ONE (3, 3, Cin, 4F) stride-1 conv kernel.
+
+    out[2m+a] = sum_d xd[2m+a+d-2] W[d] keeps only d = 2e-a, so each output
+    phase (a, b) is a 3x3 conv over x[m-1..m+1] with kernel W[2e_h-a, 2e_w-b]
+    (zero where the tap index leaves [0,4]).
+
+    PROBED AND REJECTED for the SMOW decoder (v5e, bf16): despite the
+    dilated form's 12.7% MFU, the phase form measured SLOWER in place
+    (ConvTrans stack 3.36 -> 4.4 ms) — the extra sub-pixel-shuffle pass
+    over the upsampled tensor plus the 36/25 tap padding cost more than
+    the zero-dilated rows. Kept as a building block (exactness-tested)."""
+    K00 = kernel[0::2, 0::2]
+    K01 = jnp.pad(kernel[0::2, 1::2], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    K10 = jnp.pad(kernel[1::2, 0::2], ((1, 0), (0, 0), (0, 0), (0, 0)))
+    K11 = jnp.pad(kernel[1::2, 1::2], ((1, 0), (1, 0), (0, 0), (0, 0)))
+    return jnp.concatenate([K00, K01, K10, K11], axis=-1)
+
+
+def conv_transpose_s2_phase(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose2d(k=5, s=2, p=2, output_padding=1) as a phase-packed
+    3x3 conv + sub-pixel shuffle. Exact rewrite of conv_transpose(x, kernel,
+    2, 2, 1); x: (B, h, w, Cin) -> (B, 2h, 2w, F)."""
+    B, h, w, _ = x.shape
+    F = kernel.shape[-1]
+    kp = convt_s2_phase_kernel(kernel)
+    y = lax.conv_general_dilated(
+        x, kp, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_dim_numbers(2),
+        preferred_element_type=x.dtype)
+    y = y.reshape(B, h, w, 2, 2, F).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, 2 * h, 2 * w, F)
+
+
 def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     """Left-padded depthwise/grouped causal conv over the length axis.
 

@@ -138,3 +138,21 @@ def test_conv3d_decomposed_matches_native():
         import numpy as np
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_convt_s2_phase_matches_conv_transpose():
+    """conv_transpose_s2_phase (phase-packed 3x3 + shuffle) == the
+    lhs-dilated ConvTranspose2d(k=5, s=2, p=2, op=1) lowering exactly."""
+    import jax
+    import jax.numpy as jnp
+    from smow_net_tpu.ops import convops
+
+    r, k = jax.random.normal, jax.random.PRNGKey
+    for i, (B, h, w, Cin, F) in enumerate([(2, 7, 9, 12, 8), (1, 4, 4, 3, 5)]):
+        x = r(k(i), (B, h, w, Cin), jnp.float32)
+        w5 = r(k(10 + i), (5, 5, Cin, F), jnp.float32)
+        ref = convops.conv_transpose(x, w5, 2, 2, 1)
+        got = convops.conv_transpose_s2_phase(x, w5)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)

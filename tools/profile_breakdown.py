@@ -191,6 +191,57 @@ def main():
     if full or only == "dec":
         timeit("3D U-Net decoder folded (5 stages)", Decoder(), f1, f2, f3, f4, x0l)
 
+    if only == "dparts":
+        class TransOnly(nn.Module):
+            @nn.compact
+            def __call__(self, f4, train=False):
+                y = max_pool(f4, (2, 2), (2, 2))
+                y = ConvTransBlock3d(256, name="T1")(y, train)
+                y = ConvTransBlock3d(128, name="T2")(y, train)
+                y = ConvTransBlock3d(64, name="T3")(y, train)
+                y = ConvTransBlock3d(64, name="T4")(y, train)
+                y = ConvTransBlock3d(32, name="T5")(y, train)
+                return y
+
+        f4 = r(k(7), (BS, H // 32, H // 32, 4 * 256), bf)
+        timeit("decoder ConvTrans blocks only (x5)", TransOnly(), f4)
+
+        class ConvsOnly(nn.Module):
+            @nn.compact
+            def __call__(self, a, b, c, d, e, train=False):
+                return (ConvBlock23d(128, name="C1")(a, train),
+                        ConvBlock23d(64, name="C2")(b, train),
+                        ConvBlock23d(64, name="C3")(c, train),
+                        ConvBlock23d(32, name="C4")(d, train),
+                        ConvBlock23d(32, name="C5")(e, train))
+
+        class BareConvT(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                # the five levels' per-frame transposed convs, chained, no
+                # unfold/fold/mix/BN: isolates the lhs-dilated conv cost
+                from smow_net_tpu.nn.layers import ConvParams
+                from smow_net_tpu.ops import convops as cv
+                y = x
+                for i, (cin, f) in enumerate(
+                        [(256, 256), (256, 128), (128, 64), (64, 64), (64, 32)]):
+                    kern, _ = ConvParams((5, 5, cin, f), transpose_fan=True,
+                                         name=f"k{i}")()
+                    y = cv.conv_transpose(y, kern.astype(y.dtype), (2, 2),
+                                          (2, 2), (1, 1))
+                return y
+
+        xb = r(k(8), (BS * 4, H // 64, H // 64, 256), bf)
+        timeit("bare per-frame convT chain (x5)", BareConvT(), xb)
+
+        s8 = H // 2
+        ins = (r(k(20), (BS, s8 // 16, s8 // 16, 4 * 512), bf),
+               r(k(21), (BS, s8 // 8, s8 // 8, 4 * 256), bf),
+               r(k(22), (BS, s8 // 4, s8 // 4, 4 * 128), bf),
+               r(k(23), (BS, s8 // 2, s8 // 2, 4 * 96), bf),
+               r(k(24), (BS, s8, s8, 4 * 64), bf))
+        timeit("decoder ConvBlock23d only (x5)", ConvsOnly(), *ins)
+
     y = r(k(9), (BS, s, s, 4 * 32), bf)
     m = r(k(10), (BS, 8, 128), bf)
     if full or only == "xattn":
