@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["grid_sample_pallas", "grid_sample_transpose_pallas",
-           "pallas_warp_supported"]
+           "grid_sample_dgrid_pallas", "pallas_warp_supported"]
 
 # 256 pixels per tile: per-program fixed overhead (dispatch, idxw loads,
 # output writes) was a measurable share of kernel time at 128; doubling the
@@ -218,6 +218,107 @@ def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
         dxt_ref[0] = jnp.zeros_like(dxt_ref[0])
 
     dxt_ref[0] += contrib
+
+
+def _dw_kernel(idxw_ref, xt_ref, gt_ref, dw_ref, *, H: int, W: int, C: int):
+    """The four lerp-weight gradients of grid_sample(x, grid) against output
+    cotangent g — the dw half of `_bwd_kernel` without the dx scatter. Used
+    by the transpose op's VJP, where dx is NOT needed (the g-cotangent is a
+    plain forward warp) and the full _bwd_kernel would waste its dominant
+    accumulation matmul."""
+    tp = dw_ref.shape[-1]
+    y0 = idxw_ref[0, 0:1, :]
+    y1 = idxw_ref[0, 1:2, :]
+    wy0 = idxw_ref[0, 2:3, :]
+    wy1 = idxw_ref[0, 3:4, :]
+    x0 = idxw_ref[0, 4:5, :]
+    x1 = idxw_ref[0, 5:6, :]
+    wx0 = idxw_ref[0, 6:7, :]
+    wx1 = idxw_ref[0, 7:8, :]
+
+    xt = xt_ref[0]          # (W*C, H)
+    gt = gt_ref[0]          # (C, tp)
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
+    oh0 = (ioh == y0.astype(jnp.int32)).astype(xt.dtype)
+    oh1 = (ioh == y1.astype(jnp.int32)).astype(xt.dtype)
+    dims = (((1,), (0,)), ((), ()))
+    prec = _prec(xt.dtype)
+    v0 = jax.lax.dot_general(xt, oh0, dims, preferred_element_type=jnp.float32,
+                             precision=prec)
+    v1 = jax.lax.dot_general(xt, oh1, dims, preferred_element_type=jnp.float32,
+                             precision=prec)
+
+    def expand(small):  # (W, tp) -> (W*C, tp), rows w*C+c
+        return jnp.broadcast_to(small[:, None, :], (W, C, tp)).reshape(
+            W * C, tp)
+
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
+    fx0 = (iw == x0.astype(jnp.int32)).astype(jnp.float32)
+    fx1 = (iw == x1.astype(jnp.int32)).astype(jnp.float32)
+    wh = expand(wx0 * fx0 + wx1 * fx1)
+
+    def fold(t):
+        rows = W * C
+        while rows > C:
+            rows //= 2
+            t = t[:rows, :] + t[rows:, :]
+        return t
+
+    r0 = fold(v0 * wh)
+    r1 = fold(v1 * wh)
+    vlerp = wy0 * v0 + wy1 * v1
+    q0 = fold(vlerp * expand(fx0))
+    q1 = fold(vlerp * expand(fx1))
+    gf = gt.astype(jnp.float32)
+    zero = jnp.zeros((1, tp), jnp.float32)
+    dw_ref[0] = jnp.concatenate([
+        zero, zero,
+        jnp.sum(gf * r0, axis=0, keepdims=True),
+        jnp.sum(gf * r1, axis=0, keepdims=True),
+        zero, zero,
+        jnp.sum(gf * q0, axis=0, keepdims=True),
+        jnp.sum(gf * q1, axis=0, keepdims=True),
+    ], axis=0)
+
+
+def grid_sample_dgrid_pallas(x, grid, gy, padding_mode="border",
+                             align_corners=True, interpret=False):
+    """Grid gradient of grid_sample(x, grid) against output cotangent `gy`,
+    WITHOUT computing dx: the transpose op's VJP needs only this half (its
+    g-cotangent is a plain forward warp)."""
+    B, H, W, C = x.shape
+    _, Hg, Wg, _ = grid.shape
+    P = Hg * Wg
+    idxw, f_vjp = jax.vjp(
+        lambda g: _corner_indices_weights(g, H, W, padding_mode, align_corners),
+        grid)
+    xt = x.reshape(B, H, W * C).transpose(0, 2, 1)
+    gt = gy.reshape(B, P, C).transpose(0, 2, 1)
+
+    tp = _pick_tile(P, W * C * 2, floor=_TILE_P_BWD)
+    kernel = functools.partial(_dw_kernel, H=H, W=W, C=C)
+    dw = pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, P), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(idxw, xt, gt)
+    (dgrid,) = f_vjp(dw)
+    return dgrid
 
 
 def _t_kernel(idxw_ref, gt_ref, dxt_ref, *, H: int, W: int, C: int):
@@ -405,22 +506,26 @@ def _bwd(padding_mode, align_corners, interpret, res, gy):
     xt = x.reshape(B, H, W * C).transpose(0, 2, 1)
     gt = gy.reshape(B, P, C).transpose(0, 2, 1)
 
+    # the bwd kernel keeps ~10 (W*C, tile) temporaries -> its own budget;
+    # at the fused OFW path's C=8 (W*C=1024) this reaches 512 pixels, while
+    # C=32 (W*C=4096) stays at the hardware-validated 128
+    tp = _pick_tile(P, W * C * 3, floor=_TILE_P_BWD)
     kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C)
     dxt, dw = pl.pallas_call(
         kernel,
-        grid=(B, P // _TILE_P_BWD),
+        grid=(B, P // tp),
         in_specs=[
-            pl.BlockSpec((1, 8, _TILE_P_BWD), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, _TILE_P_BWD), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, C, tp), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, _TILE_P_BWD), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

@@ -79,3 +79,25 @@ def test_supported_gating():
     assert not pallas_warp_supported((1, 100, 100, 32), (1, 100, 100, 2))  # W not pow2
     assert not pallas_warp_supported((1, 256, 256, 32), (1, 256, 256, 2))  # W*C > 4096
     assert not pallas_warp_supported((1, 16, 16, 3), (1, 16, 16, 2))  # C % 8
+
+
+def test_dgrid_only_kernel_matches_vjp():
+    """grid_sample_dgrid_pallas (the dw-only backward used by the transpose
+    op's VJP) == the grid cotangent from autodiff of the XLA sampler."""
+    import jax
+
+    from smow_net_tpu.ops.pallas.warp import grid_sample_dgrid_pallas
+    from smow_net_tpu.ops.warp import grid_sample
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 2, 16, 16, 8
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    gy = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-1.1, 1.1, size=(B, H, W, 2)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda g: grid_sample(x, g, "border", True), grid)
+    (ref,) = vjp(gy)
+    got = grid_sample_dgrid_pallas(x, grid, gy, "border", True,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)

@@ -19,7 +19,7 @@ def timeit(label, module, *args, train_kw=True):
     kw = {"train": True} if train_kw else {}
     init_kw = {"train": False} if train_kw else {}
     variables = module.init(jax.random.PRNGKey(0), *args, **init_kw)
-    params = variables["params"]
+    params = variables.get("params", {})
     stats = variables.get("batch_stats", {})
 
     def loss_fn(p, x0, rest):
@@ -36,10 +36,13 @@ def timeit(label, module, *args, train_kw=True):
         leaves = jax.tree_util.tree_leaves(out)
         return sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves) * 1e-9
 
+    # paramless pieces (bare warps/einsums): differentiate w.r.t. inputs
+    argnums = 0 if params else (1, 2)
+
     def loop(*xs):
         def body(_, carry):
-            g = jax.grad(loss_fn)(params, xs[0] + carry.astype(xs[0].dtype),
-                                  xs[1:])
+            g = jax.grad(loss_fn, argnums=argnums)(
+                params, xs[0] + carry.astype(xs[0].dtype), xs[1:])
             return sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
                        for l in jax.tree_util.tree_leaves(g)).astype(
                 jnp.float32) * 1e-12
@@ -73,49 +76,101 @@ def main():
     from smow_net_tpu.nn.resnet3d import ResNet3D
     from smow_net_tpu.ops.pooling import max_pool
 
+    from smow_net_tpu.models.smow_net import _cat_folded, ofw_tokens_fused
+
     H = SIZE
     bf = jnp.bfloat16
     r = jax.random.normal
     k = jax.random.PRNGKey
+    only = os.environ.get("PB_ONLY", "")
+    full = only == ""
 
-    x = r(k(0), (BS, 2, H, H, 3), bf)
-    timeit("resnet3d encoder", ResNet3D(), x)
+    # T-folded inputs everywhere — the layouts the real train step uses
+    x = r(k(0), (BS, H, H, 6), bf)
+    if full or only == "enc":
+        timeit("resnet3d encoder (folded)", ResNet3D(), x)
 
     x0r = r(k(2), (BS, 2, H // 2, H // 2, 32), bf)
-    timeit("OFW", OFW(32), x0r)
 
-    t4 = r(k(3), (BS, 4, H // 2, H // 2, 32), bf)
-    timeit("token transformer encoder", TokenTransformerEncoder(32), t4,
-           train_kw=False)
+    class FusedOFWTok(nn.Module):
+        @nn.compact
+        def __call__(self, a, train=True):
+            return ofw_tokens_fused(OFW(32, name="ofw"),
+                                    TokenTransformerEncoder(32, name="te"),
+                                    a, train)
+
+    if full or only == "ofwtok":
+        timeit("OFW+tokens fused (model path)", FusedOFWTok(), x0r)
+
+    if only == "ofwparts":
+        from smow_net_tpu.ops.warp import flow_warp, flow_warp_transpose
+
+        class FlowOnly(nn.Module):
+            @nn.compact
+            def __call__(self, a, train=True):
+                return OFW(32, name="ofw").flow(a, train)
+
+        timeit("  OFW flow() only", FlowOnly(), x0r)
+
+        s2 = H // 2
+        a8 = r(k(40), (2 * BS, s2, s2, 8), bf)
+        fl8 = r(k(41), (2 * BS, s2, s2, 2), bf) * 3.0
+
+        class W8(nn.Module):
+            @nn.compact
+            def __call__(self, a, f):
+                return flow_warp(a, f)
+
+        timeit("  warp fwd C=8", W8(), a8, fl8, train_kw=False)
+
+        class WT8(nn.Module):
+            @nn.compact
+            def __call__(self, a, f):
+                return flow_warp_transpose(a, f)
+
+        timeit("  warp scat C=8", WT8(), a8, fl8, train_kw=False)
+
+        class Pool2(nn.Module):
+            @nn.compact
+            def __call__(self, att, f0):
+                return jnp.einsum("btnl,bnc->btlc", att, f0)
+
+        att = r(k(43), (BS, 2, s2 * s2, 8), bf)
+        f0 = r(k(44), (BS, s2 * s2, 32), bf)
+        timeit("  pool einsum", Pool2(), att, f0, train_kw=False)
 
     class Decoder(nn.Module):
         @nn.compact
         def __call__(self, f1, f2, f3, f4, x0, train=True):
-            y = max_pool(f4, (1, 2, 2), (1, 2, 2))
+            y = max_pool(f4, (2, 2), (2, 2))
             y = ConvTransBlock3d(256, name="C3DT1")(y, train)
-            y = ConvBlock23d(128, name="C3D1")(jnp.concatenate([y, f4], -1), train)
+            y = ConvBlock23d(128, name="C3D1")(_cat_folded(y, f4, 4), train)
             y = ConvTransBlock3d(128, name="C3DT2")(y, train)
-            y = ConvBlock23d(64, name="C3D2")(jnp.concatenate([y, f3], -1), train)
+            y = ConvBlock23d(64, name="C3D2")(_cat_folded(y, f3, 4), train)
             y = ConvTransBlock3d(64, name="C3DT3")(y, train)
-            y = ConvBlock23d(64, name="C3D3")(jnp.concatenate([y, f2], -1), train)
+            y = ConvBlock23d(64, name="C3D3")(_cat_folded(y, f2, 4), train)
             y = ConvTransBlock3d(64, name="C3DT4")(y, train)
-            y = ConvBlock23d(32, name="C3D4")(jnp.concatenate([y, f1], -1), train)
+            y = ConvBlock23d(32, name="C3D4")(_cat_folded(y, f1, 4), train)
             y = ConvTransBlock3d(32, name="C3DT5")(y, train)
-            y = ConvBlock23d(32, name="C3D5")(jnp.concatenate([y, x0], -1), train)
+            y = ConvBlock23d(32, name="C3D5")(_cat_folded(y, x0, 4), train)
             return y
 
     s = H // 2
-    f1 = r(k(4), (BS, 4, s // 2, s // 2, 32), bf)
-    f2 = r(k(5), (BS, 4, s // 4, s // 4, 64), bf)
-    f3 = r(k(6), (BS, 4, s // 8, s // 8, 128), bf)
-    f4 = r(k(7), (BS, 4, s // 16, s // 16, 256), bf)
-    x0l = r(k(8), (BS, 4, s, s, 32), bf)
-    timeit("3D U-Net decoder (5 stages)", Decoder(), f1, f2, f3, f4, x0l)
+    f1 = r(k(4), (BS, s // 2, s // 2, 4 * 32), bf)
+    f2 = r(k(5), (BS, s // 4, s // 4, 4 * 64), bf)
+    f3 = r(k(6), (BS, s // 8, s // 8, 4 * 128), bf)
+    f4 = r(k(7), (BS, s // 16, s // 16, 4 * 256), bf)
+    x0l = r(k(8), (BS, s, s, 4 * 32), bf)
+    if full or only == "dec":
+        timeit("3D U-Net decoder folded (5 stages)", Decoder(),
+               f1, f2, f3, f4, x0l)
 
-    y = r(k(9), (BS, 4, s, s, 32), bf)
+    y = r(k(9), (BS, s, s, 4 * 32), bf)
     m = r(k(10), (BS, 8, 128), bf)
-    timeit("pixel cross-attn decoder", PixelTransformerDecoder(128), y, m,
-           train_kw=False)
+    if full or only == "xattn":
+        timeit("pixel cross-attn decoder",
+               PixelTransformerDecoder(128, folded_input=True), y, m,
+               train_kw=False)
 
 
 if __name__ == "__main__":
