@@ -37,18 +37,36 @@ __all__ = ["DecomposedConv3d", "BasicBlock3d", "ResNet3D", "fold_t", "unfold_t",
 #   "dense"   — the two fused into ONE ungrouped conv whose kernel is
 #               blockdiag(spatial) @ mix. 2x MACs, full MXU lanes (the
 #               encoder's C=64..512 stages run the MXU half-empty as groups).
-#   "auto"    — dense for inference, grouped under training. Measured on v5e
-#               (bs16, 256², bf16, tools/probe_resnet_dense.py): whole-encoder
-#               fwd 5.56 -> 4.12 ms (1.35x) with dense, but fwd+bwd 20.6 ->
-#               22.4 ms (the doubled MACs dominate dgrad/wgrad), hence the
-#               mode split.
+#   "batched" — frame axis moved into BATCH for the whole backbone
+#               ((2B, H, W, C), frame-major): spatial convs are plain dense
+#               convs at per-frame width (standard ResNet shapes XLA tiles
+#               well, and their wgrad is a standard conv-wgrad over 2B batch
+#               instead of a grouped one), temporal mixers are four (F, F)
+#               matmuls on the frame halves (same MACs as the folded (2F,2F)
+#               form, no transposes); outputs fold to (B, H, W, 2C) only at
+#               the 4+1 stage boundaries.
+#   "auto"    — dense for inference, batched under training. Measured on v5e
+#               (bs16, 256², bf16): whole-encoder fwd+bwd 18.24 -> 16.61 ms
+#               vs grouped (tools/profile_breakdown_train.py PB_ONLY=enc;
+#               dense trains worse still — its doubled MACs dominate
+#               dgrad/wgrad, 22.4 ms, tools/probe_resnet_dense.py).
 _FOLDED_IMPL = "auto"
+_AUTO_TRAIN = "batched"
 
 
-def set_folded_impl(name: str):
-    assert name in ("auto", "grouped", "dense"), name
-    global _FOLDED_IMPL
+def set_folded_impl(name: str, auto_train: str | None = None):
+    assert name in ("auto", "grouped", "dense", "batched"), name
+    global _FOLDED_IMPL, _AUTO_TRAIN
     _FOLDED_IMPL = name
+    if auto_train is not None:
+        assert auto_train in ("grouped", "batched"), auto_train
+        _AUTO_TRAIN = auto_train
+
+
+def _folded_mode(train: bool) -> str:
+    if _FOLDED_IMPL == "auto":
+        return _AUTO_TRAIN if train else "dense"
+    return _FOLDED_IMPL
 
 
 def fold_t(x: jnp.ndarray) -> jnp.ndarray:
@@ -63,6 +81,20 @@ def unfold_t(x: jnp.ndarray, T: int) -> jnp.ndarray:
     return x.reshape(B, H, W, T, TC // T).transpose(0, 3, 1, 2, 4)
 
 
+def folded_to_batched(x: jnp.ndarray, T: int = 2) -> jnp.ndarray:
+    """(B, H, W, T*C) -> (T*B, H, W, C), frame-major batch."""
+    B, H, W, TC = x.shape
+    z = x.reshape(B, H, W, T, TC // T).transpose(3, 0, 1, 2, 4)
+    return z.reshape(T * B, H, W, TC // T)
+
+
+def batched_to_folded(x: jnp.ndarray, T: int = 2) -> jnp.ndarray:
+    """(T*B, H, W, C) -> (B, H, W, T*C), frame-major channels."""
+    TB, H, W, C = x.shape
+    z = x.reshape(T, TB // T, H, W, C).transpose(1, 2, 3, 0, 4)
+    return z.reshape(TB // T, H, W, T * C)
+
+
 class _Kern(nn.Module):
     """Declares a bare conv kernel param under this module's name, so both
     layout paths share one declaration (tree path: <name>/kernel)."""
@@ -75,10 +107,14 @@ class _Kern(nn.Module):
         return self.param("kernel", self.init, self.shape)
 
 
-def _bn_apply(bn: nn.Module, y: jnp.ndarray, train: bool, T: int) -> jnp.ndarray:
-    """BatchNorm with (C,) stats on either layout. Folded tensors are viewed
+def _bn_apply(bn: nn.Module, y: jnp.ndarray, train: bool, T: int,
+              t_batch: bool = False) -> jnp.ndarray:
+    """BatchNorm with (C,) stats on any layout. Folded tensors are viewed
     as (B, H, W, T, C) — a free reshape — so stats pool over frames exactly
-    like torch BatchNorm3d."""
+    like torch BatchNorm3d; frame-batched tensors pool frames through the
+    batch axis directly."""
+    if t_batch:
+        return bn(y, use_running_average=not train)
     if y.ndim == 4:
         B, H, W, TC = y.shape
         z = y.reshape(B, H, W, T, TC // T)
@@ -126,10 +162,10 @@ class DecomposedConv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, fold_output: bool = False,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False, t_batch: bool = False) -> jnp.ndarray:
         k, s, p = self.kernel_size, self.stride, self.padding
         F = self.features
-        folded = x.ndim == 4
+        folded = x.ndim == 4 and not t_batch
         Cin = x.shape[-1] // 2 if folded else x.shape[-1]
         assert not self.use_bias, "reference decompose convs are bias-free"
         ks = _Kern((1, k, k, Cin, F),
@@ -142,6 +178,19 @@ class DecomposedConv3d(nn.Module):
         mix = jnp.concatenate([
             jnp.concatenate([W2, W1], axis=1),
             jnp.concatenate([W3, W2], axis=1)], axis=0).astype(dt)
+        if t_batch:
+            # frame-batched: plain dense conv over (2B, H, W, Cin), then the
+            # temporal mix as four (F, F) matmuls on the frame halves —
+            # identical MACs to the folded (2F, 2F) matmul, zero transposes,
+            # and the conv's wgrad is a standard batch-2B conv-wgrad instead
+            # of XLA's grouped lowering (measured 1.1x whole-encoder
+            # fwd+bwd; see _FOLDED_IMPL notes)
+            y = convops.conv(x, ks[0].astype(dt), (s, s), (p, p))
+            Bb = y.shape[0] // 2
+            y1, y2 = y[:Bb], y[Bb:]
+            o1 = jnp.matmul(y1, mix[:F, :F]) + jnp.matmul(y2, mix[F:, :F])
+            o2 = jnp.matmul(y1, mix[:F, F:]) + jnp.matmul(y2, mix[F:, F:])
+            return jnp.concatenate([o1, o2], axis=0)
         if not folded:
             y = convops.conv(x, ks.astype(dt), (1, s, s), (0, p, p))
             if fold_output:
@@ -150,9 +199,10 @@ class DecomposedConv3d(nn.Module):
             f1 = y_id[:, 0:1] + convops.conv(y[:, 1:2], k_bwd.astype(dt))
             f2 = convops.conv(y[:, 0:1], k_fwd.astype(dt)) + y_id[:, 1:2]
             return jnp.concatenate([f1, f2], axis=1)
-        dense = (_FOLDED_IMPL == "dense"
-                 or (_FOLDED_IMPL == "auto" and not train))
-        if dense:
+        # folded input: pick dense vs grouped ("batched" needs the caller to
+        # pass frame-batched tensors and is handled above; a folded call
+        # under batched mode keeps the grouped lowering)
+        if _folded_mode(train) == "dense":
             # ONE dense conv: kernel = blockdiag(frame-tiled spatial) @ mix,
             # i.e. K[h,w,t*Cin+c, o] = sum_f ks[h,w,c,f] * mix[t*F+f, o].
             # 2x the MACs of the grouped form but full MXU lanes on both
@@ -178,22 +228,26 @@ class BasicBlock3d(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        folded = x.ndim == 4
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 t_batch: bool = False) -> jnp.ndarray:
+        folded = x.ndim == 4 and not t_batch
         in_c = x.shape[-1] // 2 if folded else x.shape[-1]
         residual = x
         y = DecomposedConv3d(self.features, 3, self.stride, 1,
-                             name="conv1")(x, train=train)
-        y = _bn_apply(batch_norm("bn1"), y, train, 2)
+                             name="conv1")(x, train=train, t_batch=t_batch)
+        y = _bn_apply(batch_norm("bn1"), y, train, 2, t_batch)
         y = nn.relu(y)
         y = DecomposedConv3d(self.features, 3, 1, 1,
-                             name="conv2")(y, train=train)
-        y = _bn_apply(batch_norm("bn2"), y, train, 2)
+                             name="conv2")(y, train=train, t_batch=t_batch)
+        y = _bn_apply(batch_norm("bn2"), y, train, 2, t_batch)
         if self.stride != 1 or in_c != self.features:
             kd = _Kern((1, 1, 1, in_c, self.features),
                        torch_init.kaiming_uniform_torch(in_c),
                        name="downsample_conv")()
-            if folded:
+            if t_batch:
+                xs = x[:, ::self.stride, ::self.stride, :]
+                residual = jnp.matmul(xs, kd[0, 0, 0].astype(xs.dtype))
+            elif folded:
                 xs = x[:, ::self.stride, ::self.stride, :]
                 B, H, W, _ = xs.shape
                 z = xs.reshape(B, H, W, 2, in_c)
@@ -202,7 +256,8 @@ class BasicBlock3d(nn.Module):
             else:
                 residual = convops.conv(x, kd.astype(x.dtype),
                                         (1, self.stride, self.stride), 0)
-            residual = _bn_apply(batch_norm("downsample_bn"), residual, train, 2)
+            residual = _bn_apply(batch_norm("downsample_bn"), residual, train,
+                                 2, t_batch)
         return nn.relu(y + residual)
 
 
@@ -231,10 +286,13 @@ class ResNet3D(nn.Module):
             stages.append(blocks)
         self.stages = stages
 
-    def stem_forward(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        folded = x.ndim == 4
-        if folded:
-            if _FOLDED_IMPL == "dense" or (_FOLDED_IMPL == "auto" and not train):
+    def stem_forward(self, x: jnp.ndarray, train: bool,
+                     t_batch: bool = False) -> jnp.ndarray:
+        folded = x.ndim == 4 and not t_batch
+        if t_batch:
+            y = self.stem(x, train=train, t_batch=True)
+        elif folded:
+            if _folded_mode(train) == "dense":
                 # fused s2d stem: blockdiag(7x7)@mix as one 4x4 dense conv
                 # on 2x2-blocked input — no unfold/fold transposes, no
                 # standalone mix pass (_s2d_conv_7s2)
@@ -246,12 +304,25 @@ class ResNet3D(nn.Module):
                 y = self.stem(unfold_t(x, 2), fold_output=True)
         else:
             y = self.stem(x)
-        y = _bn_apply(self.bn1, y, train, 2)
+        y = _bn_apply(self.bn1, y, train, 2, t_batch)
         return nn.relu(y)
 
     def __call__(self, x: jnp.ndarray, train: bool):
         """Returns (stem_out, [stage1..stage4 outputs]) in the input layout."""
         folded = x.ndim == 4
+        # frame-batched backbone: move T into batch ONCE (on the 3-channel
+        # input, nearly free), run every conv/BN/pool at per-frame width,
+        # fold back only at the 4+1 stage outputs the decoder consumes
+        if folded and _folded_mode(train) == "batched":
+            xb = folded_to_batched(x, 2)
+            x0b = self.stem_forward(xb, train, t_batch=True)
+            y = max_pool(x0b, (3, 3), (2, 2), (1, 1))
+            feats = []
+            for blocks in self.stages:
+                for blk in blocks:
+                    y = blk(y, train, t_batch=True)
+                feats.append(batched_to_folded(y, 2))
+            return batched_to_folded(x0b, 2), feats
         x0 = self.stem_forward(x, train)
         if folded:
             y = max_pool(x0, (3, 3), (2, 2), (1, 1))

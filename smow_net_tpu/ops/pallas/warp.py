@@ -136,11 +136,19 @@ def _kernel(idxw_ref, xt_ref, out_ref, *, H: int, W: int, C: int):
 
 
 def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
-                H: int, W: int, C: int):
+                H: int, W: int, C: int, border: bool):
     """Per pixel-tile: dx += Wv^T (Wh_exp . G_exp) (MXU, accumulated across
-    the tile grid axis) and the four lerp-weight gradients
-    dwy_k = sum_c g . (row y_k, horizontally lerped),
-    dwx_j = sum_c g . (column x_j, vertically lerped)."""
+    the tile grid axis) and the four lerp-weight gradients via the
+    contraction swap dwy_k[p] = sum_h OH_k[h,p] z[h,p],
+    dwx_j[p] = sum_h Wv[h,p] z_j[h,p] with z_j = xt^T @ (fx_j (x) g) and
+    z = wx0 z0 + wx1 z1 (wx_j constant over the contracted (w,c) axis) —
+    the z_j matmuls replace the gathered-row matmuls v0/v1 AND every
+    (W*C, tile) fold/product the old kernel spent its VPU time on
+    (r2 history has the fold form). In border mode the downstream grid
+    chain only consumes dtx = dwx1 - dwx0 = sum_h Wv zd with
+    zd = xt^T @ ((fx1 - fx0) (x) g), so z comes from the whg operand the
+    dx matmul needs anyway and the kernel runs 3 matmuls, not 4 (zeros
+    mode masks wx0/wx1 per-corner, breaking the difference trick)."""
     tp = dw_ref.shape[-1]
     y0 = idxw_ref[0, 0:1, :]
     y1 = idxw_ref[0, 1:2, :]
@@ -154,62 +162,54 @@ def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
     xt = xt_ref[0]          # (W*C, H)
     gt = gt_ref[0]          # (C, tp)
     ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
-    oh0 = (ioh == y0.astype(jnp.int32)).astype(xt.dtype)
-    oh1 = (ioh == y1.astype(jnp.int32)).astype(xt.dtype)
-    dims = (((1,), (0,)), ((), ()))
+    oh0 = (ioh == y0.astype(jnp.int32)).astype(jnp.float32)
+    oh1 = (ioh == y1.astype(jnp.int32)).astype(jnp.float32)
     prec = _prec(xt.dtype)
-    v0 = jax.lax.dot_general(xt, oh0, dims, preferred_element_type=jnp.float32,
-                             precision=prec)
-    v1 = jax.lax.dot_general(xt, oh1, dims, preferred_element_type=jnp.float32,
-                             precision=prec)
-
-    # small (W, tp) forms broadcast-expanded along sublanes (w -> w*C+c);
-    # the direct (W*C, tp) iota-compare builds were the kernel's VPU
-    # bottleneck, and the G expansion needs no matmul either — it is the
-    # same row pattern with c varying fastest
-    def expand(small):  # (W, tp) -> (W*C, tp), rows w*C+c
-        return jnp.broadcast_to(small[:, None, :], (W, C, tp)).reshape(
-            W * C, tp)
 
     iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
-    fx0 = (iw == x0.astype(jnp.int32)).astype(jnp.float32)
-    fx1 = (iw == x1.astype(jnp.int32)).astype(jnp.float32)
-    ohx0 = expand(fx0)
-    ohx1 = expand(fx1)
-    wh = expand(wx0 * fx0 + wx1 * fx1)              # (W*C, tp)
+    fx0 = (iw == x0.astype(jnp.int32)).astype(xt.dtype)
+    fx1 = (iw == x1.astype(jnp.int32)).astype(xt.dtype)
+    gx = gt.astype(xt.dtype)
 
-    # G_exp[w*C+c, p] = g[c, p]: tile g over w by broadcasting sublanes
-    g_exp = jnp.broadcast_to(gt.astype(jnp.float32)[None, :, :],
-                             (W, C, tp)).reshape(W * C, tp)
+    def expand_g(small):  # (W, tp) x (C, tp) -> (W*C, tp), rows w*C+c
+        return (small[:, None, :] * gx[None, :, :]).reshape(W * C, tp)
 
-    def fold(t):  # (W*C, tp) -> (C, tp), sum over w (lane-congruent halving)
-        rows = W * C
-        while rows > C:
-            rows //= 2
-            t = t[:rows, :] + t[rows:, :]
-        return t
-
-    # weight gradients
-    r0 = fold(v0 * wh)                              # (C, tp) row y0, x-lerped
-    r1 = fold(v1 * wh)
-    vlerp = wy0 * v0 + wy1 * v1
-    q0 = fold(vlerp * ohx0)                         # (C, tp) col x0, y-lerped
-    q1 = fold(vlerp * ohx1)
-    gf = gt.astype(jnp.float32)
+    wg0 = expand_g(fx0)              # fx0 (x) g — one-hot x value: exact
+    wg1 = expand_g(fx1)
+    whg = (wx0.astype(jnp.float32) * wg0.astype(jnp.float32)
+           + wx1.astype(jnp.float32) * wg1.astype(jnp.float32)
+           ).astype(xt.dtype)        # wh . g_exp
+    dims0 = (((0,), (0,)), ((), ()))
+    wvt = wy0 * oh0 + wy1 * oh1                 # (H, tp)
     zero = jnp.zeros((1, tp), jnp.float32)
+    if border:
+        z = jax.lax.dot_general(xt, whg, dims0,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)   # (H, tp)
+        zd = jax.lax.dot_general(xt, wg1 - wg0, dims0,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        dwx0, dwx1 = zero, jnp.sum(wvt * zd, axis=0, keepdims=True)
+    else:
+        z0 = jax.lax.dot_general(xt, wg0, dims0,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        z1 = jax.lax.dot_general(xt, wg1, dims0,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        z = wx0 * z0 + wx1 * z1
+        dwx0 = jnp.sum(wvt * z0, axis=0, keepdims=True)
+        dwx1 = jnp.sum(wvt * z1, axis=0, keepdims=True)
     dw_ref[0] = jnp.concatenate([
         zero, zero,
-        jnp.sum(gf * r0, axis=0, keepdims=True),
-        jnp.sum(gf * r1, axis=0, keepdims=True),
+        jnp.sum(oh0 * z, axis=0, keepdims=True),
+        jnp.sum(oh1 * z, axis=0, keepdims=True),
         zero, zero,
-        jnp.sum(gf * q0, axis=0, keepdims=True),
-        jnp.sum(gf * q1, axis=0, keepdims=True),
+        dwx0, dwx1,
     ], axis=0)
 
-    # dx^T (W*C, H) += (wh . g_exp) @ Wv^T  with Wv^T = wy0.oh0 + wy1.oh1
-    wvt = (wy0 * oh0.astype(jnp.float32) + wy1 * oh1.astype(jnp.float32))
     contrib = jax.lax.dot_general(
-        (wh * g_exp).astype(xt.dtype), wvt.astype(xt.dtype),
+        whg, wvt.astype(xt.dtype),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=prec)
 
@@ -239,45 +239,37 @@ def _dw_kernel(idxw_ref, xt_ref, gt_ref, dw_ref, *, H: int, W: int, C: int):
     xt = xt_ref[0]          # (W*C, H)
     gt = gt_ref[0]          # (C, tp)
     ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
-    oh0 = (ioh == y0.astype(jnp.int32)).astype(xt.dtype)
-    oh1 = (ioh == y1.astype(jnp.int32)).astype(xt.dtype)
-    dims = (((1,), (0,)), ((), ()))
+    oh0 = (ioh == y0.astype(jnp.int32)).astype(jnp.float32)
+    oh1 = (ioh == y1.astype(jnp.int32)).astype(jnp.float32)
     prec = _prec(xt.dtype)
-    v0 = jax.lax.dot_general(xt, oh0, dims, preferred_element_type=jnp.float32,
-                             precision=prec)
-    v1 = jax.lax.dot_general(xt, oh1, dims, preferred_element_type=jnp.float32,
-                             precision=prec)
 
-    def expand(small):  # (W, tp) -> (W*C, tp), rows w*C+c
-        return jnp.broadcast_to(small[:, None, :], (W, C, tp)).reshape(
-            W * C, tp)
-
+    # contraction swap (see _bwd_kernel): z_j = xt^T @ (fx_j (x) g) needs two
+    # matmuls and no (W*C, tile) folds or lerp products at all
     iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
-    fx0 = (iw == x0.astype(jnp.int32)).astype(jnp.float32)
-    fx1 = (iw == x1.astype(jnp.int32)).astype(jnp.float32)
-    wh = expand(wx0 * fx0 + wx1 * fx1)
+    fx0 = (iw == x0.astype(jnp.int32)).astype(xt.dtype)
+    fx1 = (iw == x1.astype(jnp.int32)).astype(xt.dtype)
+    gx = gt.astype(xt.dtype)
 
-    def fold(t):
-        rows = W * C
-        while rows > C:
-            rows //= 2
-            t = t[:rows, :] + t[rows:, :]
-        return t
+    def expand_g(small):  # (W, tp) x (C, tp) -> (W*C, tp), rows w*C+c
+        return (small[:, None, :] * gx[None, :, :]).reshape(W * C, tp)
 
-    r0 = fold(v0 * wh)
-    r1 = fold(v1 * wh)
-    vlerp = wy0 * v0 + wy1 * v1
-    q0 = fold(vlerp * expand(fx0))
-    q1 = fold(vlerp * expand(fx1))
-    gf = gt.astype(jnp.float32)
+    dims0 = (((0,), (0,)), ((), ()))
+    z0 = jax.lax.dot_general(xt, expand_g(fx0), dims0,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)   # (H, tp)
+    z1 = jax.lax.dot_general(xt, expand_g(fx1), dims0,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+    z = wx0 * z0 + wx1 * z1
+    wvt = wy0 * oh0 + wy1 * oh1
     zero = jnp.zeros((1, tp), jnp.float32)
     dw_ref[0] = jnp.concatenate([
         zero, zero,
-        jnp.sum(gf * r0, axis=0, keepdims=True),
-        jnp.sum(gf * r1, axis=0, keepdims=True),
+        jnp.sum(oh0 * z, axis=0, keepdims=True),
+        jnp.sum(oh1 * z, axis=0, keepdims=True),
         zero, zero,
-        jnp.sum(gf * q0, axis=0, keepdims=True),
-        jnp.sum(gf * q1, axis=0, keepdims=True),
+        jnp.sum(wvt * z0, axis=0, keepdims=True),
+        jnp.sum(wvt * z1, axis=0, keepdims=True),
     ], axis=0)
 
 
@@ -295,7 +287,7 @@ def grid_sample_dgrid_pallas(x, grid, gy, padding_mode="border",
     xt = x.reshape(B, H, W * C).transpose(0, 2, 1)
     gt = gy.reshape(B, P, C).transpose(0, 2, 1)
 
-    tp = _pick_tile(P, W * C * 2, floor=_TILE_P_BWD)
+    tp = _pick_tile(P, W * C, floor=_TILE_P_BWD)
     kernel = functools.partial(_dw_kernel, H=H, W=W, C=C)
     dw = pl.pallas_call(
         kernel,
@@ -506,11 +498,13 @@ def _bwd(padding_mode, align_corners, interpret, res, gy):
     xt = x.reshape(B, H, W * C).transpose(0, 2, 1)
     gt = gy.reshape(B, P, C).transpose(0, 2, 1)
 
-    # the bwd kernel keeps ~10 (W*C, tile) temporaries -> its own budget;
-    # at the fused OFW path's C=8 (W*C=1024) this reaches 512 pixels, while
-    # C=32 (W*C=4096) stays at the hardware-validated 128
-    tp = _pick_tile(P, W * C * 3, floor=_TILE_P_BWD)
-    kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C)
+    # the bwd kernel keeps ~4 expanded (W*C, tile) temporaries (wg0/wg1/whg
+    # + one live product) -> its own budget; at the fused OFW path's C=8
+    # (W*C=1024) this reaches 1024 pixels, while C=32 (W*C=4096) stays at
+    # the hardware-validated 128
+    tp = _pick_tile(P, W * C * 3 // 2, floor=_TILE_P_BWD)
+    kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C,
+                               border=padding_mode == "border")
     dxt, dw = pl.pallas_call(
         kernel,
         grid=(B, P // tp),

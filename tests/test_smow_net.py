@@ -97,8 +97,10 @@ def test_fused_ofw_tokens_matches_legacy():
 def test_folded_dense_impl_matches_grouped():
     """The fused dense lowering of DecomposedConv3d (blockdiag(spatial)@mix
     as ONE conv kernel) is an exact rewrite of grouped-conv+mix: whole
-    encoder outputs agree, and auto mode under train=True is bit-identical
-    to grouped (same lowering)."""
+    encoder outputs agree in inference; auto mode under train=True uses the
+    frame-batched layout (T into batch, four (F,F) mix matmuls) which is the
+    same math as grouped up to fp summation order — values, batch stats and
+    parameter grads all agree to fp32 tolerance."""
     from smow_net_tpu.nn import resnet3d
     from smow_net_tpu.nn.resnet3d import ResNet3D
 
@@ -109,15 +111,37 @@ def test_folded_dense_impl_matches_grouped():
     try:
         resnet3d.set_folded_impl("grouped")
         a0, fa = enc.apply(v, x, False)
+        (d0, fd), md = enc.apply(v, x, True, mutable=["batch_stats"])
         resnet3d.set_folded_impl("auto")
         b0, fb = enc.apply(v, x, False)  # inference -> dense
-        (c0, fc), _ = enc.apply(v, x, True, mutable=["batch_stats"])
-        resnet3d.set_folded_impl("grouped")
-        (d0, fd), _ = enc.apply(v, x, True, mutable=["batch_stats"])
+        (c0, fc), mc = enc.apply(v, x, True, mutable=["batch_stats"])  # batched
     finally:
         resnet3d.set_folded_impl("auto")
     for p, q in zip([a0] + list(fa), [b0] + list(fb)):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                    atol=5e-5, rtol=1e-4)
     for p, q in zip([c0] + list(fc), [d0] + list(fd)):
-        np.testing.assert_array_equal(np.asarray(p), np.asarray(q))
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   atol=2e-4, rtol=1e-3)
+    for p, q in zip(jax.tree_util.tree_leaves(mc["batch_stats"]),
+                    jax.tree_util.tree_leaves(md["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   atol=2e-5, rtol=1e-4)
+
+    def loss(params, impl):
+        resnet3d.set_folded_impl(impl)
+        try:
+            (o, f), _ = enc.apply({"params": params,
+                                   "batch_stats": v["batch_stats"]},
+                                  x, True, mutable=["batch_stats"])
+        finally:
+            resnet3d.set_folded_impl("auto")
+        return jnp.sum(o ** 2) + sum(jnp.sum(z ** 2) for z in f)
+
+    gg = jax.grad(lambda p: loss(p, "grouped"))(v["params"])
+    gb = jax.grad(lambda p: loss(p, "batched"))(v["params"])
+    for p, q in zip(jax.tree_util.tree_leaves(gg),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   atol=5e-3 * max(1e-3, float(np.max(np.abs(p)))),
+                                   rtol=2e-3)

@@ -70,6 +70,12 @@ def timeit(label, module, *args, train_kw=True):
 def main():
     import flax.linen as nn
 
+    impl = os.environ.get("PB_FOLDED", "")
+    if impl:
+        from smow_net_tpu.nn import resnet3d
+
+        resnet3d.set_folded_impl("auto", auto_train=impl)
+
     from smow_net_tpu.models.smow_net import (
         OFW, ConvBlock23d, ConvTransBlock3d, PixelTransformerDecoder,
         TokenTransformerEncoder)
