@@ -82,17 +82,18 @@ def unfold_t(x: jnp.ndarray, T: int) -> jnp.ndarray:
 
 
 def folded_to_batched(x: jnp.ndarray, T: int = 2) -> jnp.ndarray:
-    """(B, H, W, T*C) -> (T*B, H, W, C), frame-major batch."""
+    """(B, H, W, T*C) -> (B*T, H, W, C), b-major batch (frame fastest) so a
+    dp-sharded batch axis stays local — a t-major merge would reshard."""
     B, H, W, TC = x.shape
-    z = x.reshape(B, H, W, T, TC // T).transpose(3, 0, 1, 2, 4)
-    return z.reshape(T * B, H, W, TC // T)
+    z = x.reshape(B, H, W, T, TC // T).transpose(0, 3, 1, 2, 4)
+    return z.reshape(B * T, H, W, TC // T)
 
 
 def batched_to_folded(x: jnp.ndarray, T: int = 2) -> jnp.ndarray:
-    """(T*B, H, W, C) -> (B, H, W, T*C), frame-major channels."""
-    TB, H, W, C = x.shape
-    z = x.reshape(T, TB // T, H, W, C).transpose(1, 2, 3, 0, 4)
-    return z.reshape(TB // T, H, W, T * C)
+    """(B*T, H, W, C) -> (B, H, W, T*C), frame-major channels."""
+    BT, H, W, C = x.shape
+    z = x.reshape(BT // T, T, H, W, C).transpose(0, 2, 3, 1, 4)
+    return z.reshape(BT // T, H, W, T * C)
 
 
 class _Kern(nn.Module):
@@ -162,7 +163,8 @@ class DecomposedConv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, fold_output: bool = False,
-                 train: bool = False, t_batch: bool = False) -> jnp.ndarray:
+                 train: bool = False, t_batch: bool = False,
+                 impl: str = "") -> jnp.ndarray:
         k, s, p = self.kernel_size, self.stride, self.padding
         F = self.features
         folded = x.ndim == 4 and not t_batch
@@ -184,13 +186,15 @@ class DecomposedConv3d(nn.Module):
             # identical MACs to the folded (2F, 2F) matmul, zero transposes,
             # and the conv's wgrad is a standard batch-2B conv-wgrad instead
             # of XLA's grouped lowering (measured 1.1x whole-encoder
-            # fwd+bwd; see _FOLDED_IMPL notes)
+            # fwd+bwd; see _FOLDED_IMPL notes). Batch is b-major (frame
+            # fastest), so the frame halves are a (B, 2, ...) view.
             y = convops.conv(x, ks[0].astype(dt), (s, s), (p, p))
-            Bb = y.shape[0] // 2
-            y1, y2 = y[:Bb], y[Bb:]
+            Bb, Ho, Wo = y.shape[0] // 2, y.shape[1], y.shape[2]
+            yv = y.reshape(Bb, 2, Ho, Wo, F)
+            y1, y2 = yv[:, 0], yv[:, 1]
             o1 = jnp.matmul(y1, mix[:F, :F]) + jnp.matmul(y2, mix[F:, :F])
             o2 = jnp.matmul(y1, mix[:F, F:]) + jnp.matmul(y2, mix[F:, F:])
-            return jnp.concatenate([o1, o2], axis=0)
+            return jnp.stack([o1, o2], axis=1).reshape(2 * Bb, Ho, Wo, F)
         if not folded:
             y = convops.conv(x, ks.astype(dt), (1, s, s), (0, p, p))
             if fold_output:
@@ -201,8 +205,10 @@ class DecomposedConv3d(nn.Module):
             return jnp.concatenate([f1, f2], axis=1)
         # folded input: pick dense vs grouped ("batched" needs the caller to
         # pass frame-batched tensors and is handled above; a folded call
-        # under batched mode keeps the grouped lowering)
-        if _folded_mode(train) == "dense":
+        # under batched mode keeps the grouped lowering unless the caller
+        # forces a mode via `impl` — the hybrid train encoder forces dense
+        # for the lane-starved stem/layer1)
+        if (impl or _folded_mode(train)) == "dense":
             # ONE dense conv: kernel = blockdiag(frame-tiled spatial) @ mix,
             # i.e. K[h,w,t*Cin+c, o] = sum_f ks[h,w,c,f] * mix[t*F+f, o].
             # 2x the MACs of the grouped form but full MXU lanes on both
@@ -229,16 +235,18 @@ class BasicBlock3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool,
-                 t_batch: bool = False) -> jnp.ndarray:
+                 t_batch: bool = False, impl: str = "") -> jnp.ndarray:
         folded = x.ndim == 4 and not t_batch
         in_c = x.shape[-1] // 2 if folded else x.shape[-1]
         residual = x
         y = DecomposedConv3d(self.features, 3, self.stride, 1,
-                             name="conv1")(x, train=train, t_batch=t_batch)
+                             name="conv1")(x, train=train, t_batch=t_batch,
+                                           impl=impl)
         y = _bn_apply(batch_norm("bn1"), y, train, 2, t_batch)
         y = nn.relu(y)
         y = DecomposedConv3d(self.features, 3, 1, 1,
-                             name="conv2")(y, train=train, t_batch=t_batch)
+                             name="conv2")(y, train=train, t_batch=t_batch,
+                                           impl=impl)
         y = _bn_apply(batch_norm("bn2"), y, train, 2, t_batch)
         if self.stride != 1 or in_c != self.features:
             kd = _Kern((1, 1, 1, in_c, self.features),
@@ -292,11 +300,12 @@ class ResNet3D(nn.Module):
         if t_batch:
             y = self.stem(x, train=train, t_batch=True)
         elif folded:
-            if _folded_mode(train) == "dense":
+            if _folded_mode(train) in ("dense", "batched"):
                 # fused s2d stem: blockdiag(7x7)@mix as one 4x4 dense conv
                 # on 2x2-blocked input — no unfold/fold transposes, no
-                # standalone mix pass (_s2d_conv_7s2)
-                y = self.stem(x, train=train)
+                # standalone mix pass (_s2d_conv_7s2). The hybrid batched
+                # train mode uses it too (full lanes on the Cin=3 stem).
+                y = self.stem(x, train=train, impl="dense")
             else:
                 # unfold -> per-frame batched 7x7 (grouped convs on 3 input
                 # channels measured slower) -> fold before the temporal mix;
@@ -310,19 +319,31 @@ class ResNet3D(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool):
         """Returns (stem_out, [stage1..stage4 outputs]) in the input layout."""
         folded = x.ndim == 4
-        # frame-batched backbone: move T into batch ONCE (on the 3-channel
-        # input, nearly free), run every conv/BN/pool at per-frame width,
-        # fold back only at the 4+1 stage outputs the decoder consumes
+        # hybrid frame-batched backbone for training (per-stage winners on
+        # v5e, tools/probe_enc_stages.py fwd+bwd marginal ms):
+        #   stem   — folded dense s2d (3.58 vs 5.18 batched): Cin=3 leaves
+        #            the MXU idle per-frame; blockdiag@mix fills 128 lanes;
+        #   layer1 — folded dense blockdiag (3.61 vs 6.97 batched / 8.42
+        #            grouped): C=64 runs half-lane in per-frame width;
+        #   layer2-4 — frame-batched (dense is a wash at C=128 and loses
+        #            at C>=256 where its 2x MACs stop buying lanes).
+        # One folded->batched transpose after layer1; stage outputs are
+        # folded either way.
         if folded and _folded_mode(train) == "batched":
-            xb = folded_to_batched(x, 2)
-            x0b = self.stem_forward(xb, train, t_batch=True)
-            y = max_pool(x0b, (3, 3), (2, 2), (1, 1))
+            x0 = self.stem_forward(x, train)          # folded dense s2d
+            y = max_pool(x0, (3, 3), (2, 2), (1, 1))
             feats = []
-            for blocks in self.stages:
+            for i, blocks in enumerate(self.stages):
+                if i == 0:
+                    for blk in blocks:
+                        y = blk(y, train, impl="dense")
+                    feats.append(y)
+                    y = folded_to_batched(y, 2)
+                    continue
                 for blk in blocks:
                     y = blk(y, train, t_batch=True)
                 feats.append(batched_to_folded(y, 2))
-            return batched_to_folded(x0b, 2), feats
+            return x0, feats
         x0 = self.stem_forward(x, train)
         if folded:
             y = max_pool(x0, (3, 3), (2, 2), (1, 1))

@@ -61,9 +61,8 @@ def main():
            lambda xx: pw.grid_sample_pallas(xx, grid), x)
 
     # 2. full backward kernel alone (idxw carried -> not hoistable)
-    def bwd_kernel_only(idxw_, xt_, gt_):
-        tp = pw._pick_tile(P, W * C * 3, floor=pw._TILE_P_BWD)
-        kern = functools.partial(pw._bwd_kernel, H=H, W=W, C=C)
+    def bwd_kernel_only(tp, idxw_, xt_, gt_):
+        kern = functools.partial(pw._bwd_kernel, H=H, W=W, C=C, border=True)
         return pl.pallas_call(
             kern,
             grid=(B, P // tp),
@@ -91,11 +90,13 @@ def main():
             ),
         )(idxw_, xt_, gt_)
 
-    timeit("bwd kernel only (dx+dw)", bwd_kernel_only, idxw, xt, gt)
+    import functools as _ft
+    for tp in (256, 512, 1024):
+        timeit(f"bwd kernel only (dx+dw) tp={tp}",
+               _ft.partial(bwd_kernel_only, tp), idxw, xt, gt)
 
     # 3. dw-only kernel alone
-    def dw_kernel_only(idxw_, xt_, gt_):
-        tp = pw._pick_tile(P, W * C * 2, floor=pw._TILE_P_BWD)
+    def dw_kernel_only(tp, idxw_, xt_, gt_):
         kern = functools.partial(pw._dw_kernel, H=H, W=W, C=C)
         return pl.pallas_call(
             kern,
@@ -117,7 +118,9 @@ def main():
             ),
         )(idxw_, xt_, gt_)
 
-    timeit("dw kernel only", dw_kernel_only, idxw, xt, gt)
+    for tp in (256, 512, 1024):
+        timeit(f"dw kernel only tp={tp}",
+               _ft.partial(dw_kernel_only, tp), idxw, xt, gt)
 
     # 4. scatter kernel (transpose primal, incl glue)
     timeit("scatter full (kernel+glue)",
