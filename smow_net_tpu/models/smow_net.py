@@ -282,10 +282,14 @@ class ConvTransBlock3d(nn.Module):
             F = self.features
             kernel, bias = ConvParams((1, k, k, Cin, F),
                                       transpose_fan=True, name="spatial")()
-            # NB a phase-packed 3x3 rewrite of this lhs-dilated convT
-            # (convops.conv_transpose_s2_phase) measured SLOWER in place
-            # (ConvTrans stack 3.36 -> 4.4 ms): the extra shuffle pass and
-            # the 36/25 phase padding outweigh the dilated form's low MFU.
+            # Lowering: dilated convT everywhere. The phase-packed 3x3
+            # rewrite (convops.conv_transpose_s2_phase) wins the STANDALONE
+            # fwd+bwd op probe at h>=32 (tools/probe_convt_train.py: 32^2
+            # 3.63 -> 2.95 ms, 64^2 4.95 -> 3.53) but LOSES in place inside
+            # this block (probe_dec_stages C3DT4 3.88 -> 4.92, C3DT5 6.17
+            # -> 6.62; whole decoder train 21.4 -> 22.4 ms) — the sub-pixel
+            # shuffle breaks fusion with the temporal fold/BN that follows.
+            # It also loses forward-only (ConvTrans stack 3.36 -> 4.4 ms).
             xu = unfold_t(x, T).reshape(B * T, H, W, Cin)
             y = convops.conv_transpose(xu, kernel[0].astype(x.dtype),
                                        (2, 2), (p, p), (1, 1))
