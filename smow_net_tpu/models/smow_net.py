@@ -282,14 +282,18 @@ class ConvTransBlock3d(nn.Module):
             F = self.features
             kernel, bias = ConvParams((1, k, k, Cin, F),
                                       transpose_fan=True, name="spatial")()
-            # Lowering: dilated convT everywhere. The phase-packed 3x3
-            # rewrite (convops.conv_transpose_s2_phase) wins the STANDALONE
-            # fwd+bwd op probe at h>=32 (tools/probe_convt_train.py: 32^2
-            # 3.63 -> 2.95 ms, 64^2 4.95 -> 3.53) but LOSES in place inside
-            # this block (probe_dec_stages C3DT4 3.88 -> 4.92, C3DT5 6.17
-            # -> 6.62; whole decoder train 21.4 -> 22.4 ms) — the sub-pixel
-            # shuffle breaks fusion with the temporal fold/BN that follows.
-            # It also loses forward-only (ConvTrans stack 3.36 -> 4.4 ms).
+            # Lowering: dilated convT everywhere, fwd AND bwd. Both
+            # phase-packed rewrites were probed in place and REJECTED:
+            # the phase-packed forward (convops.conv_transpose_s2_phase)
+            # wins the standalone op probe at h>=32 but loses inside this
+            # block (whole decoder train 21.4 -> 22.4 ms) because its
+            # sub-pixel shuffle breaks fusion with the temporal fold/BN
+            # that follows; the hybrid (dilated fwd + phase-form custom
+            # VJP, convops.conv_transpose_s2_hybrid) loses the same way —
+            # same-process A/B tools/probe_dec_ab.py: dilated 21.42/21.48
+            # ms vs hybrid 22.48/22.42 ms (bs16 256^2 bf16). XLA's wgrad
+            # through the lhs-dilated window fuses; the phase adjoint's
+            # shuffle/unshuffle doesn't.
             xu = unfold_t(x, T).reshape(B * T, H, W, Cin)
             y = convops.conv_transpose(xu, kernel[0].astype(x.dtype),
                                        (2, 2), (p, p), (1, 1))

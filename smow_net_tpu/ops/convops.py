@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -311,6 +312,74 @@ def conv_transpose_s2_phase(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=x.dtype)
     y = y.reshape(B, h, w, 2, 2, F).transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(B, 2 * h, 2 * w, F)
+
+
+def _phase_conv(x: jnp.ndarray, kp: jnp.ndarray) -> jnp.ndarray:
+    return lax.conv_general_dilated(
+        x, kp, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_dim_numbers(2),
+        preferred_element_type=x.dtype)
+
+
+@jax.custom_vjp
+def conv_transpose_s2_hybrid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose2d(k=5, s=2, p=2, op=1) with a split lowering:
+
+    - FORWARD: the lhs-dilated conv (same as `conv_transpose(x, k, 2, 2, 1)`)
+      — fuses with the surrounding temporal fold/BN, and the phase-packed
+      rewrite measured slower forward-only in place (see
+      conv_transpose_s2_phase);
+    - BACKWARD: both grads taken through the exact phase-packed 3x3 form
+      via `jax.linear_transpose` (no extra forward pass): dx is a plain 3x3
+      conv and dkernel a standard stride-1 wgrad, instead of XLA's wgrad
+      that walks an lhs-dilated window (the dominant cost of the decoder's
+      training backward — tools/probe_convt_train.py).
+
+    PROBED AND REJECTED in place (same-process A/B, tools/probe_dec_ab.py,
+    bs16 256^2 bf16 whole-decoder train): dilated 21.42/21.48 ms vs hybrid
+    22.48/22.42 ms. The phase adjoint's dy shuffle/unshuffle costs more
+    than XLA's fused lhs-dilated wgrad saves. Kept (grads pinned by
+    tests/test_convops.py::test_convt_s2_hybrid_grads_match_autodiff) as
+    the measured record; default routing stays "dilated".
+    """
+    return conv_transpose(x, kernel, 2, 2, 1)
+
+
+def _cts2_fwd(x, kernel):
+    return conv_transpose_s2_hybrid(x, kernel), (x, kernel)
+
+
+def _cts2_bwd(res, dy):
+    x, kernel = res
+    B, h, w, _ = x.shape
+    F = kernel.shape[-1]
+    # inverse of the sub-pixel shuffle in conv_transpose_s2_phase
+    dyp = dy.reshape(B, h, 2, w, 2, F).transpose(0, 1, 3, 2, 4, 5)
+    dyp = dyp.reshape(B, h, w, 4 * F)
+    kp = convt_s2_phase_kernel(kernel)
+    dx = jax.linear_transpose(lambda x_: _phase_conv(x_, kp), x)(dyp)[0]
+    dkp = jax.linear_transpose(lambda k_: _phase_conv(x, k_), kp)(dyp)[0]
+    dkernel = jax.linear_transpose(convt_s2_phase_kernel, kernel)(dkp)[0]
+    return dx, dkernel
+
+
+conv_transpose_s2_hybrid.defvjp(_cts2_fwd, _cts2_bwd)
+
+# A/B toggle for the k5/s2/p2/op1 transposed-conv VJP routing (the forward
+# is the identical dilated lowering either way). "dilated" measured faster
+# in place — see conv_transpose_s2_hybrid's docstring.
+_CONVT_S2_IMPL = "dilated"
+
+
+def set_convt_s2_impl(name: str):
+    assert name in ("hybrid", "dilated"), name
+    global _CONVT_S2_IMPL
+    _CONVT_S2_IMPL = name
+
+
+def conv_transpose_s2_auto(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    if _CONVT_S2_IMPL == "hybrid":
+        return conv_transpose_s2_hybrid(x, kernel)
+    return conv_transpose(x, kernel, 2, 2, 1)
 
 
 def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
