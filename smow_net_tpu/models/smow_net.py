@@ -258,14 +258,33 @@ class PixelTransformerDecoder(nn.Module):
         return q.reshape(B, H, W, self.in_chan)
 
 
+# ConvTransBlock3d folded lowering: fuse the cyclic temporal mix INTO the
+# transposed-conv kernel when the per-frame channel width would starve the
+# MXU's 128 lanes. out_j = sum_i convT(x_i; K) @ Mb[i,j] == one dense
+# T-folded convT with kernel Kf[.., i*Cin+c, j*F+g] = sum_f K[..,c,f]
+# Mb[i,j,f,g] — 2x the per-frame FLOPs (8/16 frame blocks nonzero) but all
+# 4F lanes live, and the separate mix matmul + unfold/fold disappear.
+# Stages with F >= this threshold keep the per-frame form (lanes already
+# saturated there; dense would just double the FLOPs).
+_MIXFUSE_MAX_F = 64
+
+
+def set_convt_mixfuse_max_f(v: int):
+    """A/B toggle: fuse convT+mix for stages with features <= v (0 = off)."""
+    global _MIXFUSE_MAX_F
+    _MIXFUSE_MAX_F = v
+
+
 class ConvTransBlock3d(nn.Module):
     """Spatial ConvTranspose (x2 upsample) + cyclic temporal 1x1x1 mixing over
     T=4 + BN + LeakyReLU(0.2) (reference conv_trans_block_3d,
     models/SMOW_Net.py:104-139). frame_j_out = id_mix(F_j) + mix_{j+1}(F_{j+1})
     cyclically, with id_mix identity-init and mix_i zero-init.
-    Accepts (B,4,H,W,C) or T-folded (B,H,W,4C); the spatial transposed conv
-    always runs per-frame batched (grouped transposed convs measured slower
-    on v5e), folding back for the mix/BN."""
+    Accepts (B,4,H,W,C) or T-folded (B,H,W,4C). Folded, narrow stages
+    (features <= _MIXFUSE_MAX_F) run ONE dense T-folded convT with the mix
+    composed into the kernel (see above); wide stages run the spatial convT
+    per-frame batched (grouped transposed convs measured slower on v5e) and
+    apply the mix as a folded matmul."""
 
     features: int
     spatial_kernel: int = 5
@@ -276,36 +295,49 @@ class ConvTransBlock3d(nn.Module):
         k, p = self.spatial_kernel, self.spatial_padding
         folded = x.ndim == 4
         T = 4
+        F = self.features
+        mix = CyclicTemporalMix(F, use_bias=True, name="tmix")
         if folded:
             B, H, W, TC = x.shape
             Cin = TC // T
-            F = self.features
             kernel, bias = ConvParams((1, k, k, Cin, F),
                                       transpose_fan=True, name="spatial")()
-            # Lowering: dilated convT everywhere, fwd AND bwd. Both
-            # phase-packed rewrites were probed in place and REJECTED:
-            # the phase-packed forward (convops.conv_transpose_s2_phase)
-            # wins the standalone op probe at h>=32 but loses inside this
-            # block (whole decoder train 21.4 -> 22.4 ms) because its
-            # sub-pixel shuffle breaks fusion with the temporal fold/BN
-            # that follows; the hybrid (dilated fwd + phase-form custom
-            # VJP, convops.conv_transpose_s2_hybrid) loses the same way —
-            # same-process A/B tools/probe_dec_ab.py: dilated 21.42/21.48
-            # ms vs hybrid 22.48/22.42 ms (bs16 256^2 bf16). XLA's wgrad
-            # through the lhs-dilated window fuses; the phase adjoint's
-            # shuffle/unshuffle doesn't.
-            xu = unfold_t(x, T).reshape(B * T, H, W, Cin)
-            y = convops.conv_transpose(xu, kernel[0].astype(x.dtype),
-                                       (2, 2), (p, p), (1, 1))
-            y = fold_t(y.reshape(B, T, y.shape[1], y.shape[2], F))
-            y = y + jnp.tile(bias, T).astype(y.dtype)
+            if F <= _MIXFUSE_MAX_F:
+                Mb, mbias = mix.fused_blocks()
+                Kf = jnp.einsum("hwcf,ijfg->hwicjg", kernel[0], Mb)
+                Kf = Kf.reshape(k, k, T * Cin, T * F)
+                btot = (jnp.einsum("f,ijfg->jg", bias, Mb).reshape(T * F)
+                        + mbias)
+                y = convops.conv_transpose(x, Kf.astype(x.dtype),
+                                           (2, 2), (p, p), (1, 1))
+                y = y + btot.astype(y.dtype)
+            else:
+                # Spatial convT lowering within the per-frame form: dilated
+                # convT everywhere, fwd AND bwd. Both phase-packed rewrites
+                # were probed in place and REJECTED: the phase-packed
+                # forward (convops.conv_transpose_s2_phase) wins the
+                # standalone op probe at h>=32 but loses inside this block
+                # (whole decoder train 21.4 -> 22.4 ms) because its
+                # sub-pixel shuffle breaks fusion with the temporal fold/BN
+                # that follows; the hybrid (dilated fwd + phase-form custom
+                # VJP, convops.conv_transpose_s2_hybrid) loses the same way
+                # — same-process A/B tools/probe_dec_ab.py: dilated
+                # 21.42/21.48 ms vs hybrid 22.48/22.42 ms (bs16 256^2
+                # bf16). XLA's wgrad through the lhs-dilated window fuses;
+                # the phase adjoint's shuffle/unshuffle doesn't.
+                xu = unfold_t(x, T).reshape(B * T, H, W, Cin)
+                y = convops.conv_transpose(xu, kernel[0].astype(x.dtype),
+                                           (2, 2), (p, p), (1, 1))
+                y = fold_t(y.reshape(B, T, y.shape[1], y.shape[2], F))
+                y = y + jnp.tile(bias, T).astype(y.dtype)
+                y = mix(y)
         else:
             from ..nn.layers import ConvTranspose
 
             y = ConvTranspose(
                 self.features, (1, k, k), (1, 2, 2), (0, p, p), (0, 1, 1), name="spatial"
             )(x)
-        y = CyclicTemporalMix(self.features, use_bias=True, name="tmix")(y)
+            y = mix(y)
         if folded:
             y = _bn_folded(batch_norm(), y, train, T)
         else:

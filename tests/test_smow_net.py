@@ -94,6 +94,61 @@ def test_fused_ofw_tokens_matches_legacy():
     assert float(jnp.max(jnp.abs(o1 - o2))) < 1e-5
 
 
+def test_convt_mixfuse_matches_per_frame():
+    """ConvTransBlock3d folded: the dense mix-fused kernel (cyclic temporal
+    mix composed INTO the transposed conv, filling all lanes on narrow
+    stages) is an exact linear rewrite of per-frame convT + folded mix —
+    outputs, batch stats and parameter grads agree to fp32 tolerance.
+    (time_5_bias is excluded from the grad check: a per-channel-constant
+    shift that train-mode BN cancels exactly, so its gradient is
+    mathematically zero and both paths return only fp noise.)"""
+    from smow_net_tpu.models import smow_net as sm
+
+    r, k = jax.random.normal, jax.random.PRNGKey
+    B, H, W, Cin, F = 2, 6, 5, 12, 8
+    x = r(k(0), (B, H, W, 4 * Cin), jnp.float32)
+    m = sm.ConvTransBlock3d(F)
+    try:
+        sm.set_convt_mixfuse_max_f(0)
+        v = m.init(k(1), x, False)
+        # perturb so the mix isn't identity/zero init
+        v = jax.tree_util.tree_map(
+            lambda p: p + 0.05 * r(k(2), p.shape, p.dtype), v)
+        v2 = m.init(k(1), x, False)
+        ref, mut_ref = m.apply(v, x, True, mutable=["batch_stats"])
+        ref_e = m.apply(v, x, False)
+        sm.set_convt_mixfuse_max_f(F)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(m.init(k(1), x, False)))
+        del v2
+        got, mut_got = m.apply(v, x, True, mutable=["batch_stats"])
+        got_e = m.apply(v, x, False)
+
+        def loss(p, fuse):
+            sm.set_convt_mixfuse_max_f(F if fuse else 0)
+            out, _ = m.apply(p, x, True, mutable=["batch_stats"])
+            return jnp.sum(jnp.sin(out))
+
+        g1 = jax.grad(lambda p: loss(p, False))(v)
+        g2 = jax.grad(lambda p: loss(p, True))(v)
+    finally:
+        sm.set_convt_mixfuse_max_f(64)
+    for a, b in [(ref, got), (ref_e, got_e)]:
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_ref),
+                    jax.tree_util.tree_leaves(mut_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-4)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(g1)[0],
+                            jax.tree_util.tree_leaves(g2)):
+        if "time_5_bias" in jax.tree_util.keystr(path):
+            continue
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-3,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 def test_folded_dense_impl_matches_grouped():
     """The fused dense lowering of DecomposedConv3d (blockdiag(spatial)@mix
     as ONE conv kernel) is an exact rewrite of grouped-conv+mix: whole
