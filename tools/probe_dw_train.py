@@ -1,7 +1,13 @@
 """fwd+bwd A/B of the OFW flow() depthwise strided 3D convs (the train-side
 cost of OFW.flow, ~3.3 ms marginal): XLA grouped depthwise vs shift-multiply
 vs masked-dense (diagonal-masked full conv — 32x the MACs but on the MXU;
-exact same math, zero terms included).
+exact same math, zero terms included) vs block-grouped masked-dense
+(groups of G channels dense).
+
+VERDICT (v5e, 2026-08-18): XLA grouped 3.20 ms ~= masked dense 3.15 >>
+blocked G=16 6.81 > blocked G=8 8.70 > shift-multiply 410. XLA's
+depthwise lowering is the floor; intermediate feature_group_counts are
+pathologically slow. Keep the grouped form in OFW.flow.
 
 Chain = the three downs of OFW.flow at bs16 256^2 model shapes:
 (16,2,128,128,32) -> three depthwise 3x3x3 convs, spatial stride 2, pad 1.
@@ -60,6 +66,26 @@ def chain_dense(x, kernels):
     return y
 
 
+def make_chain_blocked(G):
+    """Block-diagonal masked-dense: groups of G channels run as dense
+    G->G blocks (feature_group_count=C//G), a midpoint between XLA's
+    per-channel grouped lowering (G=1) and full masked dense (G=C)."""
+    from smow_net_tpu.ops import convops
+
+    def chain(x, kernels):
+        # out channel c (group c//G) uses in-block input lane c%G only:
+        # kblk[..., j, c] = kd[..., 0, c] * (j == c % G)
+        mask = (jnp.arange(G)[:, None]
+                == (jnp.arange(C) % G)[None, :]).astype(bf)      # (G, C)
+        y = x
+        for kd in kernels:
+            kblk = kd[:, :, :, 0][:, :, :, None, :] * mask[None, None, None]
+            y = jax.nn.relu(convops.conv(y, kblk, (1, 2, 2), 1, 1, C // G))
+        return y
+
+    return chain
+
+
 def chain_shift(x, kernels):
     y = x
     for kd in kernels:
@@ -89,10 +115,17 @@ def main():
                                                  - b.astype(jnp.float32)))))
     print("parity shift ", float(jnp.max(jnp.abs(a.astype(jnp.float32)
                                                  - c.astype(jnp.float32)))))
+    for G in (8, 16):
+        d = make_chain_blocked(G)(x, kernels)
+        print(f"parity blk{G} ", float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - d.astype(jnp.float32)))))
 
     timeit("3x dw downs fwd+bwd XLA grouped", chain_grouped, x, kernels)
     timeit("3x dw downs fwd+bwd masked dense", chain_dense, x, kernels)
-    timeit("3x dw downs fwd+bwd shift-multiply", chain_shift, x, kernels)
+    timeit("3x dw downs fwd+bwd blocked G=8", make_chain_blocked(8), x, kernels)
+    timeit("3x dw downs fwd+bwd blocked G=16", make_chain_blocked(16), x, kernels)
+    if os.environ.get("PB_SHIFT"):
+        timeit("3x dw downs fwd+bwd shift-multiply", chain_shift, x, kernels)
 
 
 if __name__ == "__main__":
