@@ -2,7 +2,12 @@
 5-stage folded 3D U-Net decoder (train fwd+bwd AND inference, bs16 256^2
 model shapes) with the cyclic temporal mix composed into the transposed-conv
 kernel for stages with F <= gate. gate=0 is the per-frame baseline; 64
-fuses C3DT3/4/5 (the lane-starved stages); 128 also fuses C3DT2."""
+fuses C3DT3/4/5 (the lane-starved stages); 128 also fuses C3DT2.
+
+VERDICT (v5e, bf16): gate=64 wins both modes — train 17.07/17.53 ms vs
+18.02 at 128 vs 23.4-27.7 per-frame; infer 15.6 vs 15.8 at 128 vs ~23
+per-frame. F=128 already fills the lanes per-frame, so fusing it only
+adds the 2x FLOPs inflation. _MIXFUSE_MAX_F stays 64 for train AND eval."""
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -52,7 +57,7 @@ def main():
     f4 = r(k(7), (BS, s // 16, s // 16, 4 * 256), bf)
     x0l = r(k(8), (BS, s, s, 4 * 32), bf)
     gates = [int(g) for g in
-             os.environ.get("MF_GATES", "0,64,128,0,64").split(",")]
+             os.environ.get("MF_GATES", "0,64,128,0,64").split(",") if g]
     igates = [int(g) for g in
               os.environ.get("MF_IGATES", "0,64,0,64").split(",") if g]
     for gate in gates:
