@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["grid_sample_pallas", "grid_sample_transpose_pallas",
-           "grid_sample_dgrid_pallas", "pallas_warp_supported"]
+           "grid_sample_transpose_vjp_pallas", "pallas_warp_supported"]
 
 # 256 pixels per tile: per-program fixed overhead (dispatch, idxw loads,
 # output writes) was a measurable share of kernel time at 128; doubling the
@@ -136,19 +136,20 @@ def _kernel(idxw_ref, xt_ref, out_ref, *, H: int, W: int, C: int):
 
 
 def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
-                H: int, W: int, C: int, border: bool):
-    """Per pixel-tile: dx += Wv^T (Wh_exp . G_exp) (MXU, accumulated across
-    the tile grid axis) and the four lerp-weight gradients via the
-    contraction swap dwy_k[p] = sum_h OH_k[h,p] z[h,p],
-    dwx_j[p] = sum_h Wv[h,p] z_j[h,p] with z_j = xt^T @ (fx_j (x) g) and
-    z = wx0 z0 + wx1 z1 (wx_j constant over the contracted (w,c) axis) —
-    the z_j matmuls replace the gathered-row matmuls v0/v1 AND every
-    (W*C, tile) fold/product the old kernel spent its VPU time on
-    (r2 history has the fold form). In border mode the downstream grid
-    chain only consumes dtx = dwx1 - dwx0 = sum_h Wv zd with
-    zd = xt^T @ ((fx1 - fx0) (x) g), so z comes from the whg operand the
-    dx matmul needs anyway and the kernel runs 3 matmuls, not 4 (zeros
-    mode masks wx0/wx1 per-corner, breaking the difference trick)."""
+                H: int, W: int, C: int):
+    """Per pixel-tile, three matmuls around ONE expanded operand:
+
+      whg[w*C+c, p] = wh[w,p] g[c,p]          (single (W*C, tile) expand)
+      dx  += whg @ Wv^T                        (scatter, accumulated)
+      z    = xt^T @ whg                        -> dwy_k = sum_h OH_k . z
+      v    = xt @ Wv                           -> vertically-lerped rows
+      s[w,p] = sum_c v[w*C+c,p] g[c,p]         -> dwx_j = sum_w fx_j . s
+
+    The v-matmul route makes BOTH horizontal weight grads a (W, tile)-sized
+    VPU fold (dwx_j[p] = sum_c g . v[x_j*C+c, p]), so the per-corner
+    (W*C, tile) expansions (wg0/wg1) and the border-mode difference trick of
+    the previous kernel disappear; border and zeros modes share one path
+    (the idxw weights already carry the zeros masks)."""
     tp = dw_ref.shape[-1]
     y0 = idxw_ref[0, 0:1, :]
     y1 = idxw_ref[0, 1:2, :]
@@ -167,45 +168,30 @@ def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
     prec = _prec(xt.dtype)
 
     iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
-    fx0 = (iw == x0.astype(jnp.int32)).astype(xt.dtype)
-    fx1 = (iw == x1.astype(jnp.int32)).astype(xt.dtype)
-    gx = gt.astype(xt.dtype)
-
-    def expand_g(small):  # (W, tp) x (C, tp) -> (W*C, tp), rows w*C+c
-        return (small[:, None, :] * gx[None, :, :]).reshape(W * C, tp)
-
-    wg0 = expand_g(fx0)              # fx0 (x) g — one-hot x value: exact
-    wg1 = expand_g(fx1)
-    whg = (wx0.astype(jnp.float32) * wg0.astype(jnp.float32)
-           + wx1.astype(jnp.float32) * wg1.astype(jnp.float32)
-           ).astype(xt.dtype)        # wh . g_exp
-    dims0 = (((0,), (0,)), ((), ()))
+    fx0 = (iw == x0.astype(jnp.int32)).astype(jnp.float32)
+    fx1 = (iw == x1.astype(jnp.int32)).astype(jnp.float32)
+    wh = wx0 * fx0 + wx1 * fx1                  # (W, tp) masked lerp row
+    gf = gt.astype(jnp.float32)
+    whg = (wh[:, None, :] * gf[None, :, :]).reshape(W * C, tp).astype(xt.dtype)
     wvt = wy0 * oh0 + wy1 * oh1                 # (H, tp)
+
+    dims0 = (((0,), (0,)), ((), ()))
+    z = jax.lax.dot_general(xt, whg, dims0,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)     # (H, tp)
+    v = jax.lax.dot_general(xt, wvt.astype(xt.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)     # (W*C, tp)
+    s = jnp.sum(v.reshape(W, C, tp) * gf[None, :, :], axis=1)  # (W, tp)
     zero = jnp.zeros((1, tp), jnp.float32)
-    if border:
-        z = jax.lax.dot_general(xt, whg, dims0,
-                                preferred_element_type=jnp.float32,
-                                precision=prec)   # (H, tp)
-        zd = jax.lax.dot_general(xt, wg1 - wg0, dims0,
-                                 preferred_element_type=jnp.float32,
-                                 precision=prec)
-        dwx0, dwx1 = zero, jnp.sum(wvt * zd, axis=0, keepdims=True)
-    else:
-        z0 = jax.lax.dot_general(xt, wg0, dims0,
-                                 preferred_element_type=jnp.float32,
-                                 precision=prec)
-        z1 = jax.lax.dot_general(xt, wg1, dims0,
-                                 preferred_element_type=jnp.float32,
-                                 precision=prec)
-        z = wx0 * z0 + wx1 * z1
-        dwx0 = jnp.sum(wvt * z0, axis=0, keepdims=True)
-        dwx1 = jnp.sum(wvt * z1, axis=0, keepdims=True)
     dw_ref[0] = jnp.concatenate([
         zero, zero,
         jnp.sum(oh0 * z, axis=0, keepdims=True),
         jnp.sum(oh1 * z, axis=0, keepdims=True),
         zero, zero,
-        dwx0, dwx1,
+        jnp.sum(fx0 * s, axis=0, keepdims=True),
+        jnp.sum(fx1 * s, axis=0, keepdims=True),
     ], axis=0)
 
     contrib = jax.lax.dot_general(
@@ -220,12 +206,20 @@ def _bwd_kernel(idxw_ref, xt_ref, gt_ref, dxt_ref, dw_ref, *,
     dxt_ref[0] += contrib
 
 
-def _dw_kernel(idxw_ref, xt_ref, gt_ref, dw_ref, *, H: int, W: int, C: int):
-    """The four lerp-weight gradients of grid_sample(x, grid) against output
-    cotangent g — the dw half of `_bwd_kernel` without the dx scatter. Used
-    by the transpose op's VJP, where dx is NOT needed (the g-cotangent is a
-    plain forward warp) and the full _bwd_kernel would waste its dominant
-    accumulation matmul."""
+def _t_vjp_kernel(idxw_ref, xbt_ref, gt_ref, dg_ref, dw_ref, *,
+                  H: int, W: int, C: int):
+    """The ENTIRE VJP of the transpose (scatter) op in one pass, given the
+    primal pixel tensor g and the image-side cotangent Xb:
+
+      v    = Xb^T-layout @ Wv                  (vertically-lerped rows of Xb)
+      dg   = fold_W(v . Wh_exp)                (the forward warp of Xb)
+      s[w,p] = sum_c v[w*C+c,p] g[c,p]         -> dwx_j = sum_w fx_j . s
+      z    = Xb @ (Wh (x) g)                   -> dwy_k = sum_h OH_k . z
+
+    Two matmuls total, where the previous route paid three across two
+    kernels (a standalone forward-warp pallas_call for dg + a dw-only
+    kernel with two per-corner expanded matmuls) and built every one-hot
+    mask twice."""
     tp = dw_ref.shape[-1]
     y0 = idxw_ref[0, 0:1, :]
     y1 = idxw_ref[0, 1:2, :]
@@ -236,60 +230,66 @@ def _dw_kernel(idxw_ref, xt_ref, gt_ref, dw_ref, *, H: int, W: int, C: int):
     wx0 = idxw_ref[0, 6:7, :]
     wx1 = idxw_ref[0, 7:8, :]
 
-    xt = xt_ref[0]          # (W*C, H)
-    gt = gt_ref[0]          # (C, tp)
+    xbt = xbt_ref[0]        # (W*C, H) — the image-side cotangent, transposed
+    gt = gt_ref[0]          # (C, tp)  — the primal pixel tensor
     ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
     oh0 = (ioh == y0.astype(jnp.int32)).astype(jnp.float32)
     oh1 = (ioh == y1.astype(jnp.int32)).astype(jnp.float32)
-    prec = _prec(xt.dtype)
+    prec = _prec(xbt.dtype)
 
-    # contraction swap (see _bwd_kernel): z_j = xt^T @ (fx_j (x) g) needs two
-    # matmuls and no (W*C, tile) folds or lerp products at all
     iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
-    fx0 = (iw == x0.astype(jnp.int32)).astype(xt.dtype)
-    fx1 = (iw == x1.astype(jnp.int32)).astype(xt.dtype)
-    gx = gt.astype(xt.dtype)
+    fx0 = (iw == x0.astype(jnp.int32)).astype(jnp.float32)
+    fx1 = (iw == x1.astype(jnp.int32)).astype(jnp.float32)
+    wh = wx0 * fx0 + wx1 * fx1                  # (W, tp)
+    gf = gt.astype(jnp.float32)
+    wvt = wy0 * oh0 + wy1 * oh1                 # (H, tp)
 
-    def expand_g(small):  # (W, tp) x (C, tp) -> (W*C, tp), rows w*C+c
-        return (small[:, None, :] * gx[None, :, :]).reshape(W * C, tp)
+    v = jax.lax.dot_general(xbt, wvt.astype(xbt.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)     # (W*C, tp)
+    # dg: horizontal lerp of the gathered rows — the forward kernel's tail
+    whx = jnp.broadcast_to(wh[:, None, :], (W, C, tp)).reshape(W * C, tp)
+    t = v * whx
+    rows = W * C
+    while rows > C:
+        rows //= 2
+        t = t[:rows, :] + t[rows:, :]
+    dg_ref[0] = t.astype(dg_ref.dtype)
 
-    dims0 = (((0,), (0,)), ((), ()))
-    z0 = jax.lax.dot_general(xt, expand_g(fx0), dims0,
-                             preferred_element_type=jnp.float32,
-                             precision=prec)   # (H, tp)
-    z1 = jax.lax.dot_general(xt, expand_g(fx1), dims0,
-                             preferred_element_type=jnp.float32,
-                             precision=prec)
-    z = wx0 * z0 + wx1 * z1
-    wvt = wy0 * oh0 + wy1 * oh1
+    s = jnp.sum(v.reshape(W, C, tp) * gf[None, :, :], axis=1)  # (W, tp)
+    whg = (wh[:, None, :] * gf[None, :, :]).reshape(W * C, tp).astype(xbt.dtype)
+    z = jax.lax.dot_general(xbt, whg, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)     # (H, tp)
     zero = jnp.zeros((1, tp), jnp.float32)
     dw_ref[0] = jnp.concatenate([
         zero, zero,
         jnp.sum(oh0 * z, axis=0, keepdims=True),
         jnp.sum(oh1 * z, axis=0, keepdims=True),
         zero, zero,
-        jnp.sum(wvt * z0, axis=0, keepdims=True),
-        jnp.sum(wvt * z1, axis=0, keepdims=True),
+        jnp.sum(fx0 * s, axis=0, keepdims=True),
+        jnp.sum(fx1 * s, axis=0, keepdims=True),
     ], axis=0)
 
 
-def grid_sample_dgrid_pallas(x, grid, gy, padding_mode="border",
-                             align_corners=True, interpret=False):
-    """Grid gradient of grid_sample(x, grid) against output cotangent `gy`,
-    WITHOUT computing dx: the transpose op's VJP needs only this half (its
-    g-cotangent is a plain forward warp)."""
-    B, H, W, C = x.shape
+def grid_sample_transpose_vjp_pallas(g, grid, xbar, padding_mode="border",
+                                     align_corners=True, interpret=False):
+    """(dg, dgrid) of `grid_sample_transpose_pallas(g, grid)` against the
+    image-side cotangent `xbar` — one fused kernel (see _t_vjp_kernel)."""
+    B, H, W, C = xbar.shape
     _, Hg, Wg, _ = grid.shape
     P = Hg * Wg
     idxw, f_vjp = jax.vjp(
-        lambda g: _corner_indices_weights(g, H, W, padding_mode, align_corners),
+        lambda gr: _corner_indices_weights(gr, H, W, padding_mode,
+                                           align_corners),
         grid)
-    xt = x.reshape(B, H, W * C).transpose(0, 2, 1)
-    gt = gy.reshape(B, P, C).transpose(0, 2, 1)
+    xbt = xbar.reshape(B, H, W * C).transpose(0, 2, 1)
+    gt = g.reshape(B, P, C).transpose(0, 2, 1)
 
-    tp = _pick_tile(P, W * C, floor=_TILE_P_BWD)
-    kernel = functools.partial(_dw_kernel, H=H, W=W, C=C)
-    dw = pl.pallas_call(
+    tp = _pick_tile(P, W * C * 3 // 2, floor=_TILE_P_BWD)
+    kernel = functools.partial(_t_vjp_kernel, H=H, W=W, C=C)
+    dg, dw = pl.pallas_call(
         kernel,
         grid=(B, P // tp),
         in_specs=[
@@ -300,17 +300,24 @@ def grid_sample_dgrid_pallas(x, grid, gy, padding_mode="border",
             pl.BlockSpec((1, C, tp), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 8, P), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, C, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, C, P), g.dtype),
+            jax.ShapeDtypeStruct((B, 8, P), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_BWD_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(idxw, xt, gt)
+    )(idxw, xbt, gt)
     (dgrid,) = f_vjp(dw)
-    return dgrid
+    return dg.transpose(0, 2, 1).reshape(B, Hg, Wg, C), dgrid
 
 
 def _t_kernel(idxw_ref, gt_ref, dxt_ref, *, H: int, W: int, C: int):
@@ -503,8 +510,7 @@ def _bwd(padding_mode, align_corners, interpret, res, gy):
     # (W*C=1024) this reaches 1024 pixels, while C=32 (W*C=4096) stays at
     # the hardware-validated 128
     tp = _pick_tile(P, W * C * 3 // 2, floor=_TILE_P_BWD)
-    kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C,
-                               border=padding_mode == "border")
+    kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C)
     dxt, dw = pl.pallas_call(
         kernel,
         grid=(B, P // tp),

@@ -172,18 +172,19 @@ def _gst_fwd(g, grid, out_hw, padding_mode, align_corners):
 
 def _gst_bwd(out_hw, padding_mode, align_corners, res, cot):
     g, grid = res
-    dg = grid_sample_auto(cot, grid, padding_mode, align_corners)
     from .pallas.warp import pallas_warp_supported
 
     if (_IMPL in ("auto", "pallas") and jax.default_backend() == "tpu"
             and pallas_warp_supported(cot.shape, grid.shape)):
-        # dw-only kernel: the full jax.vjp route re-runs the forward AND
-        # computes the unused dx scatter half of the backward kernel
-        from .pallas.warp import grid_sample_dgrid_pallas
+        # one fused kernel for the whole VJP: dg (the forward warp of the
+        # cotangent) and dgrid share the vertical-gather matmul and every
+        # one-hot mask (see pallas/warp._t_vjp_kernel)
+        from .pallas.warp import grid_sample_transpose_vjp_pallas
 
-        dgrid = grid_sample_dgrid_pallas(cot, grid, g, padding_mode,
-                                         align_corners)
+        dg, dgrid = grid_sample_transpose_vjp_pallas(
+            g, grid, cot, padding_mode, align_corners)
     else:
+        dg = grid_sample_auto(cot, grid, padding_mode, align_corners)
         _, vjpf = jax.vjp(
             lambda c, gr: grid_sample_auto(c, gr, padding_mode, align_corners),
             cot, grid)

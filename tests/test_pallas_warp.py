@@ -81,23 +81,33 @@ def test_supported_gating():
     assert not pallas_warp_supported((1, 16, 16, 3), (1, 16, 16, 2))  # C % 8
 
 
-def test_dgrid_only_kernel_matches_vjp():
-    """grid_sample_dgrid_pallas (the dw-only backward used by the transpose
-    op's VJP) == the grid cotangent from autodiff of the XLA sampler."""
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_transpose_vjp_fused_kernel(padding_mode):
+    """grid_sample_transpose_vjp_pallas (the one-kernel VJP of the scatter
+    op) == autodiff of the XLA scatter: dg is the forward warp of the image
+    cotangent, dgrid the scatter's grid gradient."""
     import jax
 
-    from smow_net_tpu.ops.pallas.warp import grid_sample_dgrid_pallas
+    from smow_net_tpu.ops.pallas.warp import grid_sample_transpose_vjp_pallas
     from smow_net_tpu.ops.warp import grid_sample
 
     rng = np.random.default_rng(7)
     B, H, W, C = 2, 16, 16, 8
-    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
-    gy = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    xbar = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
     grid = jnp.asarray(rng.uniform(-1.1, 1.1, size=(B, H, W, 2)), jnp.float32)
 
-    _, vjp = jax.vjp(lambda g: grid_sample(x, g, "border", True), grid)
-    (ref,) = vjp(gy)
-    got = grid_sample_dgrid_pallas(x, grid, gy, "border", True,
-                                   interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+    # scatter(g) == vjp of the sampler; differentiate <xbar, scatter(g)>
+    def inner(gg, gr):
+        x0 = jnp.zeros((B, H, W, C), jnp.float32)
+        _, vjpf = jax.vjp(
+            lambda x: grid_sample(x, gr, padding_mode, True), x0)
+        return jnp.sum(vjpf(gg)[0] * xbar)
+
+    ref_dg, ref_dgrid = jax.grad(inner, argnums=(0, 1))(g, grid)
+    dg, dgrid = grid_sample_transpose_vjp_pallas(
+        g, grid, xbar, padding_mode, True, interpret=True)
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(ref_dg),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dgrid), np.asarray(ref_dgrid),
                                atol=2e-4, rtol=2e-4)

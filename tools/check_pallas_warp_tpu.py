@@ -48,3 +48,32 @@ def _gp():
 
 _gp()
 print("PALLAS_WARP_TPU_GRAD_OK", flush=True)
+
+
+# transpose-op VJP (fused _t_vjp_kernel) vs XLA autodiff at the fused OFW
+# token shapes (C=8 pixel-side), fp32
+def _tp():
+    from smow_net_tpu.ops import warp as w
+
+    Ct = 8
+    g = jax.random.normal(jax.random.PRNGKey(4), (4, H, W, Ct), jnp.float32)
+    flow = jax.random.normal(jax.random.PRNGKey(5), (4, H, W, 2), jnp.float32) * 3.0
+    xbar = jax.random.normal(jax.random.PRNGKey(6), (4, H, W, Ct), jnp.float32)
+
+    def loss(g, f):
+        return jnp.sum(w.flow_warp_transpose(g, f) * xbar)
+
+    gp = jax.jit(jax.grad(loss, argnums=(0, 1)))(g, flow)
+    w.set_warp_impl("xla")
+    try:
+        gx = jax.jit(jax.grad(loss, argnums=(0, 1)))(g, flow)
+    finally:
+        w.set_warp_impl("auto")
+    for name, a, b in [("dg", gp[0], gx[0]), ("dflow", gp[1], gx[1])]:
+        a = np.asarray(a, np.float32); b = np.asarray(b, np.float32)
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
+        print(f"transpose-vjp {name}: rel_err={err:.3e}", flush=True)
+        assert err < 1e-4, (name, err)
+
+_tp()
+print("PALLAS_WARP_TPU_TVJP_OK", flush=True)
