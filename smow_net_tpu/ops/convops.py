@@ -155,7 +155,36 @@ def _conv3d_decomposed(x, kernel, stride, pad, dilation, groups):
 # XLA grouped-conv lowering and REJECTED: strided taps relayout on TPU
 # (3.4x slower at the OFW down-conv shapes) and stride-1 taps measured
 # within noise of XLA's own lowering at SS2D/MobileNetV2/ELGCNet shapes
-# (tools/probe_dw.py) — XLA already lowers depthwise to VPU elementwise.
+# (tools/probe_dw.py). A calibrated re-probe (tools/probe_dw2d.py) made the
+# STRIDE-2 3x3 cases look 10-30x above the VPU flop floor, so an
+# s2d-phase-blocked Pallas kernel was built (ops/pallas/dwconv.py: the nine
+# taps as four full-lane FMAs on 2x2-phase-folded lanes + a fold matmul).
+# VERDICT (tools/probe_dwpallas.py, v5e 2026-08-18): REJECTED for routing —
+# XLA wins every shape (flow 128^2 C32: 0.46/1.40 ms fwd/fwd+bwd vs pallas
+# 0.71/2.02; mbv2 112^2 C96 s2: 0.27/1.00 vs 1.30/2.83). The naive tap floor
+# ignores the VMEM traffic of the shifted-operand builds (~16 full-array
+# reads per frame pair), which is where the stencil formulation actually
+# lives; XLA's grouped lowering is near that real floor. The kernel stays
+# available behind set_dw_impl("pallas") as measurement apparatus.
+_DW_IMPL = "xla"
+
+
+def set_dw_impl(name: str):
+    """Depthwise stride-2 backend: 'xla' (default — measured faster at all
+    probed shapes) or 'pallas' (the s2d-phase kernel, kept for probes)."""
+    assert name in ("xla", "pallas"), name
+    global _DW_IMPL
+    _DW_IMPL = name
+
+
+def _dw_s2_route(x5, kernel4):
+    if _DW_IMPL != "pallas":
+        return None
+    from .pallas.dwconv import dw3x3_s2_pallas, dw_s2_supported
+
+    if not dw_s2_supported(x5.shape):
+        return None
+    return dw3x3_s2_pallas(x5, kernel4)
 
 
 def to_tuple(v, n: int) -> Tuple[int, ...]:
@@ -200,6 +229,20 @@ def conv(
             ix = tuple(slice(None, None, s) for s in stride)
             x = x[(slice(None),) + ix]
         return jnp.matmul(x, kernel.reshape(kernel.shape[-2], kernel.shape[-1]))
+    if (groups > 1 and groups == x.shape[-1] == kernel.shape[-1]
+            and kernel.shape[-2] == 1 and all(d == 1 for d in dilation)):
+        # depthwise 3x3 spatial-stride-2 pad-1 -> Pallas s2d-phase kernel
+        if (n == 2 and kernel.shape[:2] == (3, 3) and stride == (2, 2)
+                and pad == (1, 1)):
+            y5 = _dw_s2_route(x[:, None], kernel[None, :, :, 0, :])
+            if y5 is not None:
+                return y5[:, 0]
+        if (n == 3 and kernel.shape[:3] in ((1, 3, 3), (3, 3, 3))
+                and stride[0] == 1 and stride[1:] == (2, 2)
+                and pad[0] == kernel.shape[0] // 2 and pad[1:] == (1, 1)):
+            y5 = _dw_s2_route(x, kernel[..., 0, :])
+            if y5 is not None:
+                return y5
     if (n == 3 and _CONV3D_IMPL == "decomposed" and kernel.shape[0] > 1
             and kernel.shape[0] % 2 == 1 and stride[0] == 1
             and dilation[0] == 1 and pad[0] == kernel.shape[0] // 2):

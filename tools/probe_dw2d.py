@@ -5,6 +5,11 @@ VPU-flop floor (taps x elements / ~4 TFLOP/s) to locate headroom for a
 Pallas depthwise kernel.
 
 Run on TPU: python tools/probe_dw2d.py
+
+NB the printed "vpu floor" counts tap flops only; the follow-up A/B
+(tools/probe_dwpallas.py) showed a hand-written stencil kernel pays ~16
+full-array VMEM reads per frame pair for its shifted operands, so the
+reachable floor is far higher and XLA's grouped lowering wins.
 """
 import os
 import sys
@@ -62,6 +67,11 @@ def timeit(label, fn, *args, mode="fwd"):
     return (time.perf_counter() - t0) / ITERS * 1e3
 
 
+REPS = 8  # chain REPS convs per iteration so the ~1.6 ms in-graph harness
+# floor (CLAUDE.md) doesn't bury sub-ms kernels; reported ms is per conv
+# (measured minus a REPS=0 harness calibration, divided by REPS)
+
+
 def main():
     from smow_net_tpu.ops import convops
 
@@ -69,15 +79,28 @@ def main():
         x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C), bf)
         k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 1, C), bf)
 
-        def dw(a, kk, s=s):
-            return convops.conv(a, kk, (s, s), (1, 1), groups=C)
+        def chain(a, kk, s=s, n=REPS):
+            y = 0.0
+            for i in range(n):
+                # independent applications (roll input per rep so XLA can't
+                # CSE them); stride-2 shrinks, so sum scalar consumptions
+                y = y + jnp.mean(convops.conv(
+                    jnp.roll(a, i, axis=1), kk, (s, s), (1, 1),
+                    groups=C).astype(jnp.float32))
+            return y
 
-        f = timeit(label, dw, x, k, mode="fwd")
-        fb = timeit(label, dw, x, k, mode="bwd")
+        def calib(a, kk, s=s):
+            return chain(a, kk, s, 0) + jnp.mean(a.astype(jnp.float32))
+
+        f0 = timeit(label, calib, x, k, mode="fwd")
+        f = timeit(label, chain, x, k, mode="fwd")
+        fb0 = timeit(label, calib, x, k, mode="bwd")
+        fb = timeit(label, chain, x, k, mode="bwd")
         # naive floor: 9 taps x output elements, VPU ~4e12 flop/s (bf16 fma)
         out_el = B * (H // s) * (W // s) * C
         floor_ms = out_el * 9 * 2 / 4e12 * 1e3
-        print(f"{label:26s} fwd {f:7.3f} ms  fwd+bwd {fb:7.3f} ms  "
+        print(f"{label:26s} fwd {(f - f0) / REPS:7.3f} ms  "
+              f"fwd+bwd {(fb - fb0) / REPS:7.3f} ms  "
               f"(vpu floor ~{floor_ms:.3f}/{3 * floor_ms:.3f})", flush=True)
 
 
