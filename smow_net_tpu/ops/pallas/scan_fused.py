@@ -46,23 +46,37 @@ __all__ = ["selective_scan_fused", "selective_scan_fused_grouped",
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
-def _pick_chunk_bwd(L: int, Cg: int, N: int,
-                    budget_bytes: int = 4 << 20) -> int:
-    """The reverse kernel keeps the recomputed (chunk, N, Cg) h states in
-    VMEM scratch; size the chunk so that stays under the budget."""
+def _pick_bt(BG: int, Cg: int, N: int) -> int:
+    """How many (batch, group) pairs ride one program. The recurrence's
+    per-row ops are (N, Cg)-sized — a few KB at SS2D shapes — so a single
+    pair leaves the VPU issuing tiny ops with the per-row loop overhead
+    dominating, and the BG independent programs serialize on the core.
+    Batch pairs until each per-row op is ~32-64K elements."""
+    bt = 1
+    while (bt * 2 <= BG and BG % (bt * 2) == 0
+           and bt * N * Cg <= 32768):
+        bt *= 2
+    return bt
+
+
+def _pick_chunk_bwd(L: int, Cg: int, N: int, bt: int,
+                    budget_bytes: int = 8 << 20) -> int:
+    """The reverse kernel keeps the recomputed (chunk, bt, N, Cg) h states
+    in VMEM scratch; size the chunk so that stays under the budget."""
     chunk = 1024
-    while chunk * N * Cg * 4 > budget_bytes and chunk > 8:
+    while chunk * bt * N * Cg * 4 > budget_bytes and chunk > 8:
         chunk //= 2
     while L % chunk:
         chunk //= 2
     return max(chunk, 1)
 
 
-def _pick_chunk(L: int, Cg: int, budget_bytes: int = 2 << 20) -> int:
-    """Largest power-of-two chunk dividing L whose (chunk, Cg) fp32 block
-    stays under the budget (u, dt, y blocks each hold one)."""
+def _pick_chunk(L: int, Cg: int, bt: int = 1,
+                budget_bytes: int = 4 << 20) -> int:
+    """Largest power-of-two chunk dividing L whose (bt, chunk, Cg) fp32
+    block stays under the budget (u, dt, y blocks each hold one)."""
     chunk = 1024
-    while chunk * Cg * 4 > budget_bytes and chunk > 8:
+    while bt * chunk * Cg * 4 > budget_bytes and chunk > 8:
         chunk //= 2
     while L % chunk:
         chunk //= 2
@@ -77,38 +91,41 @@ def fused_supported(L: int, Cg: int) -> bool:
 
 def _fwd_kernel(dt_ref, u_ref, B_ref, C_ref, A_ref, D_ref, y_ref, h_st,
                 *, chunk: int, step: int, softplus: bool):
+    """All refs carry a leading `bt` (batch*group tile) dim: per-row ops are
+    (bt, N, Cg)-sized, amortizing the sequential row loop's overhead over
+    bt pairs instead of serializing bt single-pair programs."""
     li = pl.program_id(1)
 
     @pl.when(li == 0)
     def _():
         h_st[:] = jnp.zeros_like(h_st)
 
-    A = A_ref[0]                    # (N, Cg) fp32 (already -exp(A_log))
-    Dv = D_ref[0]                   # (1, Cg)
+    A = A_ref[...]                  # (bt, N, Cg) fp32 (already -exp(A_log))
+    Dv = D_ref[...]                 # (bt, 1, Cg)
 
     def slab(i, h):
         base = i * step
-        dt = dt_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        dt = dt_ref[:, pl.ds(base, step), :].astype(jnp.float32)
         if softplus:
             dt = jax.nn.softplus(dt)
-        u = u_ref[0, pl.ds(base, step), :].astype(jnp.float32)
-        dtu = dt * u                                     # (step, Cg)
-        Bs = B_ref[0, pl.ds(base, step), :].astype(jnp.float32)
-        Cs = C_ref[0, pl.ds(base, step), :].astype(jnp.float32)
-        BsT = Bs.T                                       # (N, step)
-        CsT = Cs.T
+        u = u_ref[:, pl.ds(base, step), :].astype(jnp.float32)
+        dtu = dt * u                                     # (bt, step, Cg)
+        BsT = jnp.swapaxes(
+            B_ref[:, pl.ds(base, step), :].astype(jnp.float32), 1, 2)
+        CsT = jnp.swapaxes(
+            C_ref[:, pl.ds(base, step), :].astype(jnp.float32), 1, 2)
         rows = []
         for r in range(step):
-            a_r = jnp.exp(dt[r : r + 1, :] * A)          # (N, Cg)
-            b_r = BsT[:, r : r + 1] * dtu[r : r + 1, :]  # (N, Cg)
+            a_r = jnp.exp(dt[:, r : r + 1, :] * A)           # (bt, N, Cg)
+            b_r = BsT[:, :, r : r + 1] * dtu[:, r : r + 1, :]
             h = a_r * h + b_r
-            y_r = jnp.sum(CsT[:, r : r + 1] * h, axis=0, keepdims=True)
-            rows.append(y_r + Dv * u[r : r + 1, :])
-        y_ref[0, pl.ds(base, step), :] = jnp.concatenate(rows, axis=0)
+            y_r = jnp.sum(CsT[:, :, r : r + 1] * h, axis=1, keepdims=True)
+            rows.append(y_r + Dv * u[:, r : r + 1, :])
+        y_ref[:, pl.ds(base, step), :] = jnp.concatenate(rows, axis=1)
         return h
 
-    h = jax.lax.fori_loop(0, chunk // step, slab, h_st[:, :])
-    h_st[:, :] = h
+    h = jax.lax.fori_loop(0, chunk // step, slab, h_st[...])
+    h_st[...] = h
 
 
 def _ckpt_kernel(dt_ref, u_ref, B_ref, A_ref, hck_ref, h_st,
@@ -121,23 +138,24 @@ def _ckpt_kernel(dt_ref, u_ref, B_ref, A_ref, hck_ref, h_st,
     def _():
         h_st[:] = jnp.zeros_like(h_st)
 
-    hck_ref[0, 0] = h_st[:, :]
-    A = A_ref[0]
+    hck_ref[:, 0] = h_st[...]
+    A = A_ref[...]
 
     def slab(i, h):
         base = i * step
-        dt = dt_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        dt = dt_ref[:, pl.ds(base, step), :].astype(jnp.float32)
         if softplus:
             dt = jax.nn.softplus(dt)
-        u = u_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        u = u_ref[:, pl.ds(base, step), :].astype(jnp.float32)
         dtu = dt * u
-        BsT = B_ref[0, pl.ds(base, step), :].astype(jnp.float32).T
+        BsT = jnp.swapaxes(
+            B_ref[:, pl.ds(base, step), :].astype(jnp.float32), 1, 2)
         for r in range(step):
-            h = jnp.exp(dt[r : r + 1, :] * A) * h \
-                + BsT[:, r : r + 1] * dtu[r : r + 1, :]
+            h = jnp.exp(dt[:, r : r + 1, :] * A) * h \
+                + BsT[:, :, r : r + 1] * dtu[:, r : r + 1, :]
         return h
 
-    h_st[:, :] = jax.lax.fori_loop(0, chunk // step, slab, h_st[:, :])
+    h_st[...] = jax.lax.fori_loop(0, chunk // step, slab, h_st[...])
 
 
 def _bwd_kernel(dt_ref, u_ref, B_ref, C_ref, dy_ref, A_ref, hck_ref,
@@ -156,24 +174,25 @@ def _bwd_kernel(dt_ref, u_ref, B_ref, C_ref, dy_ref, A_ref, hck_ref,
         an_st[:] = jnp.zeros_like(an_st)
         dA_st[:] = jnp.zeros_like(dA_st)
 
-    A = A_ref[0]
+    A = A_ref[...]                  # (bt, N, Cg)
 
     # ---- forward recompute: h_scr[r] = state BEFORE row r ----
     def slab_fwd(j, h):
         base = j * step
-        dt = dt_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        dt = dt_ref[:, pl.ds(base, step), :].astype(jnp.float32)
         if softplus:
             dt = jax.nn.softplus(dt)
-        u = u_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        u = u_ref[:, pl.ds(base, step), :].astype(jnp.float32)
         dtu = dt * u
-        BsT = B_ref[0, pl.ds(base, step), :].astype(jnp.float32).T
+        BsT = jnp.swapaxes(
+            B_ref[:, pl.ds(base, step), :].astype(jnp.float32), 1, 2)
         for r in range(step):
             h_scr[pl.ds(base + r, 1)] = h[None]
-            h = jnp.exp(dt[r : r + 1, :] * A) * h \
-                + BsT[:, r : r + 1] * dtu[r : r + 1, :]
+            h = jnp.exp(dt[:, r : r + 1, :] * A) * h \
+                + BsT[:, :, r : r + 1] * dtu[:, r : r + 1, :]
         return h
 
-    jax.lax.fori_loop(0, chunk // step, slab_fwd, hck_ref[0, 0])
+    jax.lax.fori_loop(0, chunk // step, slab_fwd, hck_ref[:, 0])
 
     # ---- reverse adjoint walk ----
     def slab_bwd(j, carry):
@@ -181,137 +200,150 @@ def _bwd_kernel(dt_ref, u_ref, B_ref, C_ref, dy_ref, A_ref, hck_ref,
         # keep the offset in (k * step) form — Mosaic must statically prove
         # sublane-dim slice offsets are multiples of 8
         base = (chunk // step - 1 - j) * step
-        dt = dt_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        dt = dt_ref[:, pl.ds(base, step), :].astype(jnp.float32)
         if softplus:
             dt = jax.nn.softplus(dt)
-        u = u_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        u = u_ref[:, pl.ds(base, step), :].astype(jnp.float32)
         dtu = dt * u
-        BsT = B_ref[0, pl.ds(base, step), :].astype(jnp.float32).T
-        CsT = C_ref[0, pl.ds(base, step), :].astype(jnp.float32).T
-        dy = dy_ref[0, pl.ds(base, step), :].astype(jnp.float32)
+        BsT = jnp.swapaxes(
+            B_ref[:, pl.ds(base, step), :].astype(jnp.float32), 1, 2)
+        CsT = jnp.swapaxes(
+            C_ref[:, pl.ds(base, step), :].astype(jnp.float32), 1, 2)
+        dy = dy_ref[:, pl.ds(base, step), :].astype(jnp.float32)
 
         dus_rows, ddt_rows, dB_cols, dC_cols = [], [], [], []
         for r in range(step - 1, -1, -1):
-            h_prev = h_scr[pl.ds(base + r, 1)][0]          # (N, Cg)
-            a_r = jnp.exp(dt[r : r + 1, :] * A)
-            b_r = BsT[:, r : r + 1] * dtu[r : r + 1, :]
+            h_prev = h_scr[pl.ds(base + r, 1)][0]          # (bt, N, Cg)
+            a_r = jnp.exp(dt[:, r : r + 1, :] * A)
+            b_r = BsT[:, :, r : r + 1] * dtu[:, r : r + 1, :]
             h_l = a_r * h_prev + b_r
-            g = CsT[:, r : r + 1] * dy[r : r + 1, :] + a_next * g
+            g = CsT[:, :, r : r + 1] * dy[:, r : r + 1, :] + a_next * g
             a_next = a_r
-            gha = g * h_prev * a_r                          # (N, Cg)
-            s = jnp.sum(g * BsT[:, r : r + 1], axis=0, keepdims=True)
-            dus_rows.append(dt[r : r + 1, :] * s)
-            ddt_rows.append(u[r : r + 1, :] * s
-                            + jnp.sum(gha * A, axis=0, keepdims=True))
-            dA_st[:, :] += gha * dt[r : r + 1, :]
-            dB_cols.append(jnp.sum(g * dtu[r : r + 1, :], axis=1,
+            gha = g * h_prev * a_r                          # (bt, N, Cg)
+            s = jnp.sum(g * BsT[:, :, r : r + 1], axis=1, keepdims=True)
+            dus_rows.append(dt[:, r : r + 1, :] * s)
+            ddt_rows.append(u[:, r : r + 1, :] * s
+                            + jnp.sum(gha * A, axis=1, keepdims=True))
+            dA_st[...] += gha * dt[:, r : r + 1, :]
+            dB_cols.append(jnp.sum(g * dtu[:, r : r + 1, :], axis=2,
                                    keepdims=True))
-            dC_cols.append(jnp.sum(h_l * dy[r : r + 1, :], axis=1,
+            dC_cols.append(jnp.sum(h_l * dy[:, r : r + 1, :], axis=2,
                                    keepdims=True))
 
         # rows were collected last-to-first; restore ascending order
-        dus_ref[0, pl.ds(base, step), :] = jnp.concatenate(dus_rows[::-1], 0)
-        ddt_ref[0, pl.ds(base, step), :] = jnp.concatenate(ddt_rows[::-1], 0)
-        dB_ref[0, pl.ds(base, step), :] = jnp.concatenate(dB_cols[::-1], 1).T
-        dC_ref[0, pl.ds(base, step), :] = jnp.concatenate(dC_cols[::-1], 1).T
+        dus_ref[:, pl.ds(base, step), :] = jnp.concatenate(
+            dus_rows[::-1], 1)
+        ddt_ref[:, pl.ds(base, step), :] = jnp.concatenate(
+            ddt_rows[::-1], 1)
+        dB_ref[:, pl.ds(base, step), :] = jnp.swapaxes(
+            jnp.concatenate(dB_cols[::-1], 2), 1, 2)
+        dC_ref[:, pl.ds(base, step), :] = jnp.swapaxes(
+            jnp.concatenate(dC_cols[::-1], 2), 1, 2)
         return g, a_next
 
     g, a_next = jax.lax.fori_loop(
-        0, chunk // step, slab_bwd, (g_st[:, :], an_st[:, :]))
-    g_st[:, :] = g
-    an_st[:, :] = a_next
+        0, chunk // step, slab_bwd, (g_st[...], an_st[...]))
+    g_st[...] = g
+    an_st[...] = a_next
 
     @pl.when(li == pl.num_programs(1) - 1)
     def _():
-        dA_ref[0] = dA_st[:, :]
+        dA_ref[...] = dA_st[...]
 
 
 def _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus, interpret):
     """Forward pallas call on grouped (B*G, L, Cg) operands."""
     BG, L, Cg, G, N = dims
-    chunk = _pick_chunk(L, Cg)
+    bt = _pick_bt(BG, Cg, N)
+    chunk = _pick_chunk(L, Cg, bt)
     step = 8
     while chunk % step:
         step //= 2
+    # per-group A/D -> per-(batch, group) rows (bg = b*G + g -> index % G)
+    # so a bt-tile block spanning groups reads its own rows; KB-scale tiles
+    A_full = jnp.tile(A2, (BG // G, 1, 1))
+    D_full = jnp.tile(Dv, (BG // G, 1, 1))
 
     kernel = functools.partial(_fwd_kernel, chunk=chunk, step=step,
                                softplus=delta_softplus)
-    seq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, l, 0),
+    seq = pl.BlockSpec((bt, chunk, Cg), lambda bg, l: (bg, l, 0),
                        memory_space=pltpu.VMEM)
-    seqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, l, 0),
+    seqn = pl.BlockSpec((bt, chunk, N), lambda bg, l: (bg, l, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(BG, L // chunk),
+        grid=(BG // bt, L // chunk),
         in_specs=[
             seq, seq, seqn, seqn,
-            pl.BlockSpec((1, N, Cg), lambda bg, l: (bg % G, 0, 0),
+            pl.BlockSpec((bt, N, Cg), lambda bg, l: (bg, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Cg), lambda bg, l: (bg % G, 0, 0),
+            pl.BlockSpec((bt, 1, Cg), lambda bg, l: (bg, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=seq,
         out_shape=jax.ShapeDtypeStruct((BG, L, Cg), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((N, Cg), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, N, Cg), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(dt2, u2, B2, C2, A2, Dv)
+    )(dt2, u2, B2, C2, A_full, D_full)
 
 
 def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret):
     """Checkpoint + reverse-sweep pallas calls on grouped operands.
     Returns (dus, ddt2, dB2, dC2, dA2) in grouped layouts."""
     BG, L, Cg, G, N = dims
-    chunk = _pick_chunk_bwd(L, Cg, N)
+    bt = _pick_bt(BG, Cg, N)
+    chunk = _pick_chunk_bwd(L, Cg, N, bt)
     step = 8
     while chunk % step:
         step //= 2
     Lc = L // chunk
+    A_full = jnp.tile(A2, (BG // G, 1, 1))
 
-    seq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, l, 0),
+    seq = pl.BlockSpec((bt, chunk, Cg), lambda bg, l: (bg, l, 0),
                        memory_space=pltpu.VMEM)
-    seqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, l, 0),
+    seqn = pl.BlockSpec((bt, chunk, N), lambda bg, l: (bg, l, 0),
                         memory_space=pltpu.VMEM)
-    a_spec = pl.BlockSpec((1, N, Cg), lambda bg, l: (bg % G, 0, 0),
+    a_spec = pl.BlockSpec((bt, N, Cg), lambda bg, l: (bg, 0, 0),
                           memory_space=pltpu.VMEM)
-    ck_spec = pl.BlockSpec((1, 1, N, Cg), lambda bg, l: (bg, l, 0, 0),
+    ck_spec = pl.BlockSpec((bt, 1, N, Cg), lambda bg, l: (bg, l, 0, 0),
                            memory_space=pltpu.VMEM)
 
     ck_kernel = functools.partial(_ckpt_kernel, chunk=chunk, step=step,
                                   softplus=delta_softplus)
     hck = pl.pallas_call(
         ck_kernel,
-        grid=(BG, Lc),
+        grid=(BG // bt, Lc),
         in_specs=[seq, seq, seqn, a_spec],
         out_specs=ck_spec,
         out_shape=jax.ShapeDtypeStruct((BG, Lc, N, Cg), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((N, Cg), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, N, Cg), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(dt2, u2, B2, A2)
+    )(dt2, u2, B2, A_full)
 
     # reverse-order index maps: grid step l processes chunk Lc-1-l
-    rseq = pl.BlockSpec((1, chunk, Cg), lambda bg, l: (bg, Lc - 1 - l, 0),
+    rseq = pl.BlockSpec((bt, chunk, Cg), lambda bg, l: (bg, Lc - 1 - l, 0),
                         memory_space=pltpu.VMEM)
-    rseqn = pl.BlockSpec((1, chunk, N), lambda bg, l: (bg, Lc - 1 - l, 0),
+    rseqn = pl.BlockSpec((bt, chunk, N), lambda bg, l: (bg, Lc - 1 - l, 0),
                          memory_space=pltpu.VMEM)
-    rck = pl.BlockSpec((1, 1, N, Cg), lambda bg, l: (bg, Lc - 1 - l, 0, 0),
+    rck = pl.BlockSpec((bt, 1, N, Cg), lambda bg, l: (bg, Lc - 1 - l, 0, 0),
                        memory_space=pltpu.VMEM)
 
     bw_kernel = functools.partial(_bwd_kernel, chunk=chunk, step=step,
                                   softplus=delta_softplus, N=N)
     return pl.pallas_call(
         bw_kernel,
-        grid=(BG, Lc),
+        grid=(BG // bt, Lc),
         in_specs=[rseq, rseq, rseqn, rseqn, rseq, a_spec, rck],
         out_specs=(rseq, rseq, rseqn, rseqn,
-                   pl.BlockSpec((1, N, Cg), lambda bg, l: (bg, 0, 0),
+                   pl.BlockSpec((bt, N, Cg), lambda bg, l: (bg, 0, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(
             jax.ShapeDtypeStruct((BG, L, Cg), jnp.float32),
@@ -321,17 +353,17 @@ def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret):
             jax.ShapeDtypeStruct((BG, N, Cg), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((chunk, N, Cg), jnp.float32),
-            pltpu.VMEM((N, Cg), jnp.float32),
-            pltpu.VMEM((N, Cg), jnp.float32),
-            pltpu.VMEM((N, Cg), jnp.float32),
+            pltpu.VMEM((chunk, bt, N, Cg), jnp.float32),
+            pltpu.VMEM((bt, N, Cg), jnp.float32),
+            pltpu.VMEM((bt, N, Cg), jnp.float32),
+            pltpu.VMEM((bt, N, Cg), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(dt2, u2, B2, C2, dy2, A2, hck)
+    )(dt2, u2, B2, C2, dy2, A_full, hck)
 
 
 def _regrouped(u, delta, A, Bmat, Cmat, delta_bias):
