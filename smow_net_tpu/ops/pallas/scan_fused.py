@@ -46,6 +46,17 @@ __all__ = ["selective_scan_fused", "selective_scan_fused_grouped",
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
+import os as _os
+
+# per-row op-size target for the bt tiling (elements) and the unrolled
+# rows per slab. v5e sweep at the dominant change_mamba shape (VSSBlock
+# C=96 64^2, tools/probe_scan_bt.py): step 16 beats 8 by ~3% at every cap;
+# caps past 32768 are noise-to-worse (the bwd h-checkpoint scratch budget
+# shrinks the chunk, adding grid steps).
+_BT_CAP = int(_os.environ.get("SCAN_FUSED_BT_CAP", "32768"))
+_STEP = int(_os.environ.get("SCAN_FUSED_STEP", "16"))
+
+
 def _pick_bt(BG: int, Cg: int, N: int) -> int:
     """How many (batch, group) pairs ride one program. The recurrence's
     per-row ops are (N, Cg)-sized — a few KB at SS2D shapes — so a single
@@ -54,7 +65,7 @@ def _pick_bt(BG: int, Cg: int, N: int) -> int:
     Batch pairs until each per-row op is ~32-64K elements."""
     bt = 1
     while (bt * 2 <= BG and BG % (bt * 2) == 0
-           and bt * N * Cg <= 32768):
+           and bt * N * Cg <= _BT_CAP):
         bt *= 2
     return bt
 
@@ -256,7 +267,7 @@ def _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus, interpret):
     BG, L, Cg, G, N = dims
     bt = _pick_bt(BG, Cg, N)
     chunk = _pick_chunk(L, Cg, bt)
-    step = 8
+    step = _STEP
     while chunk % step:
         step //= 2
     # per-group A/D -> per-(batch, group) rows (bg = b*G + g -> index % G)
@@ -297,7 +308,7 @@ def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret):
     BG, L, Cg, G, N = dims
     bt = _pick_bt(BG, Cg, N)
     chunk = _pick_chunk_bwd(L, Cg, N, bt)
-    step = 8
+    step = _STEP
     while chunk % step:
         step //= 2
     Lc = L // chunk
