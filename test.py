@@ -17,7 +17,15 @@ def parse_option():
     p = argparse.ArgumentParser("smow_net_tpu evaluation")
     p.add_argument("--model", type=str, default="smow_net")
     p.add_argument("--data_dir", type=str, default="./LEVIR-CD-256")
-    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="orbax checkpoint dir written by train.py")
+    p.add_argument("--torch_ckpt", type=str, default="",
+                   help="reference-trained PyTorch state_dict (.pth); "
+                        "converted on the fly (incl. the DataParallel "
+                        "'module.' strip, reference test.py:97-102) so "
+                        "reference checkpoints can be evaluated directly")
+    p.add_argument("--trainsize", type=int, default=256,
+                   help="model init size for --torch_ckpt conversion")
     p.add_argument("--output_dir", type=str, default="./test_output")
     p.add_argument("--batchsize", type=int, default=1)
     p.add_argument("--save_vis", action="store_true", default=True)
@@ -51,7 +59,21 @@ def main(opt):
     ds = CDDataset(opt.data_dir, "test")
     loader = DataLoader(ds, opt.batchsize, shuffle=False, num_workers=8)
     model = get_model(opt.model)
-    params, batch_stats = ckpt.restore_best_params(opt.checkpoint)
+    if opt.torch_ckpt:
+        import jax.numpy as jnp
+
+        from smow_net_tpu.train.ingest import ingest_torch_checkpoint
+
+        s = opt.trainsize
+        x = jnp.zeros((1, s, s, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+        variables = ingest_torch_checkpoint(opt.model, opt.torch_ckpt, variables)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+    elif opt.checkpoint:
+        params, batch_stats = ckpt.restore_best_params(opt.checkpoint)
+    else:
+        raise SystemExit("one of --checkpoint / --torch_ckpt is required")
     eval_step = make_eval_step(model)
 
     cm = np.zeros((2, 2))

@@ -54,8 +54,8 @@ def build_resnet18():
     return ResNet18()
 
 
-@pytest.fixture(scope="module")
-def reference_model():
+def build_reference_smownet():
+    """Random-init reference SMOW_Net (eval mode), loaded as a black box."""
     if not os.path.exists(REF):
         pytest.skip("reference not mounted")
     spec = importlib.util.spec_from_file_location("ref_smow_net", REF)
@@ -65,6 +65,11 @@ def reference_model():
     model = mod.SMOW_Net(build_resnet18())
     model.eval()
     return model
+
+
+@pytest.fixture(scope="module")
+def reference_model():
+    return build_reference_smownet()
 
 
 @pytest.mark.slow

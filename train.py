@@ -51,6 +51,10 @@ def parse_option():
                         "resnet18 for smow_net/afcf3d/bit/tfi_gr/seifnet, "
                         "mobilenet_v2 for smow_net_lw/a2net, vgg16 for ifn "
                         "(mirrors reference train.py:84-85)")
+    p.add_argument("--torch_ckpt", type=str, default="",
+                   help="warm-start from a reference-trained PyTorch "
+                        "state_dict (.pth); full-model conversion incl. the "
+                        "DataParallel 'module.' strip (reference test.py:97-102)")
     p.add_argument("--bf16", action="store_true", help="mixed-precision training: bf16 forward/backward, fp32 master params")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO/FSDP-style weight sharding: params + optimizer "
@@ -117,6 +121,15 @@ def main(opt):
         state = state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"])
         print(f"loaded pretrained backbone from {opt.pretrained}")
+    if opt.torch_ckpt:
+        from smow_net_tpu.train.ingest import ingest_torch_checkpoint
+
+        variables = ingest_torch_checkpoint(
+            opt.model, opt.torch_ckpt,
+            {"params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables.get("batch_stats", state.batch_stats))
+        print(f"warm-started from torch checkpoint {opt.torch_ckpt}")
     state = jax.device_put(state, replicated_sharding(mesh))
 
     start_epoch = 1
