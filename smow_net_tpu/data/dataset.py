@@ -90,25 +90,38 @@ class DataLoader:
     jit sees one shape (metrics weight by 'valid')."""
 
     def __init__(self, dataset: CDDataset, batch_size: int, shuffle: bool, seed: int = 2022,
-                 num_workers: int = 8, drop_last: bool = False, pad_last: bool = True):
+                 num_workers: int = 8, drop_last: bool = False, pad_last: bool = True,
+                 num_shards: int = 1, shard_id: int = 0):
+        """num_shards/shard_id: multi-host partitioning — each process reads
+        a disjoint strided slice of the (identically seeded) shuffled order,
+        truncated to equal length so all hosts run the same number of steps.
+        batch_size is the PER-PROCESS batch size."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.pad_last = pad_last
-        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
         self.epoch = 0
 
-    def __len__(self) -> int:
+    def _shard_len(self) -> int:
         n = len(self.ds)
+        return n // self.num_shards if self.num_shards > 1 else n
+
+    def __len__(self) -> int:
+        n = self._shard_len()
         return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.ds)
-        order = np.arange(n)
+        order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id :: self.num_shards][: self._shard_len()]
+        n = len(order)
         epoch = self.epoch
         self.epoch += 1
         for start in range(0, n, self.bs):
@@ -131,14 +144,14 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2):
 
     import jax
 
-    from ..parallel.mesh import batch_sharding
-
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    from ..parallel.mesh import shard_batch
 
     def put(batch):
-        if sharding is None:
+        if mesh is None:
             return jax.tree_util.tree_map(jax.device_put, batch)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+        # shard_batch routes through make_array_from_process_local_data on
+        # a multi-process runtime (pod slice), plain device_put otherwise
+        return shard_batch(batch, mesh)
 
     queue = collections.deque()
     for batch in iterator:

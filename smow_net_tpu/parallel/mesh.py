@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
-           "fsdp_sharding"]
+           "global_shard_batch", "fsdp_sharding"]
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis_names: Sequence[str] = ("data",),
@@ -39,9 +39,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Multi-host batch assembly (SURVEY §2.5): each process holds only its
+    local slice of the global batch; `jax.make_array_from_process_local_data`
+    stitches the per-process host arrays into one global jax.Array sharded
+    over the mesh's data axis, without any cross-host data movement. Also
+    valid single-process (local data == global data), which is how the unit
+    tests pin the API path."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put a host batch (pytree of arrays, leading batch dim) sharded
-    across the mesh's data axis."""
+    across the mesh's data axis. On a multi-process runtime (pod slice) the
+    batch is treated as this process's local slice and routed through
+    `global_shard_batch`."""
+    if jax.process_count() > 1:
+        return global_shard_batch(batch, mesh, axis)
     sh = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 

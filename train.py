@@ -84,10 +84,15 @@ def main(opt):
 
     train_ds = CDDataset(opt.data_dir, "train", seed=opt.seed)
     val_ds = CDDataset(opt.data_dir, "val", seed=opt.seed)
+    # multi-host (pod slice): each process loads a disjoint shard and
+    # contributes its local slice of the global batch (SURVEY §2.5)
+    nproc, pid = jax.process_count(), jax.process_index()
     train_loader = DataLoader(train_ds, opt.batchsize, shuffle=True, seed=opt.seed,
-                              num_workers=opt.num_workers)
+                              num_workers=opt.num_workers,
+                              num_shards=nproc, shard_id=pid)
     val_loader = DataLoader(val_ds, opt.batchsize, shuffle=False, seed=opt.seed,
-                            num_workers=opt.num_workers)
+                            num_workers=opt.num_workers,
+                            num_shards=nproc, shard_id=pid)
     iters_per_epoch = len(train_loader)
 
     mesh = make_mesh()
