@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["selective_scan", "set_scan_impl", "selective_scan_auto",
-           "cross_selective_scan"]
+           "cross_selective_scan", "route_scan_impl"]
 
 _IMPL = "auto"
 
@@ -61,20 +61,30 @@ def _fused_ok(u, Bmat) -> bool:
     return fused_supported(L, D // G)
 
 
+def route_scan_impl(backend: str, u, A, Bmat) -> str:
+    """Backend tier selection for 'auto' (documented fallback ladder):
+    TPU -> 'fused' when the shape satisfies `fused_supported` (L chunkable
+    into power-of-two slabs >= 8, Cg % 8 == 0), else the chunked 'pallas'
+    streaming kernel when its (block_d * N) lane packing is full, else the
+    'xla' associative scan. Non-TPU backends always take 'xla'. Awkward
+    shapes (odd L like 250*250, Cg % 8 != 0) thus degrade gracefully but
+    lose the fused kernel's 10-21x — pad L / pick Cg multiples of 8 to stay
+    on the fast tier."""
+    if backend != "tpu":
+        return "xla"
+    if _fused_ok(u, Bmat):
+        return "fused"
+    if _pallas_profitable(u, A):
+        return "pallas"
+    return "xla"
+
+
 def selective_scan_auto(*args, **kwargs):
     impl = _IMPL
     if impl == "auto":
         import jax as _jax
 
-        if _jax.default_backend() == "tpu":
-            if _fused_ok(args[0], args[3]):
-                impl = "fused"
-            elif _pallas_profitable(args[0], args[2]):
-                impl = "pallas"
-            else:
-                impl = "xla"
-        else:
-            impl = "xla"
+        impl = route_scan_impl(_jax.default_backend(), args[0], args[2], args[3])
     if impl == "fused":
         from .pallas.scan_fused import selective_scan_fused
 
