@@ -32,6 +32,8 @@ _REGISTRY: Dict[str, Tuple[str, str, Dict[str, Any]]] = {
     "a2net": ("smow_net_tpu.models.zoo.a2net", "A2Net", {"out_c": 1}),
     "elgcnet": ("smow_net_tpu.models.zoo.elgcnet", "ELGCNet", {"dec_embed_dim": 256}),
     "changeformer": ("smow_net_tpu.models.zoo.changeformer", "ChangeFormerV6", {"embed_dim": 256}),
+    "scratchformer": ("smow_net_tpu.models.zoo.scratchformer", "ScratchFormer",
+                      {"embed_dim": 256}),
     "rs_mamba": ("smow_net_tpu.models.zoo.rs_mamba", "RSMCD", {}),
     "change_mamba": ("smow_net_tpu.models.zoo.change_mamba", "ChangeMamba", {}),
     "cd_mamba": ("smow_net_tpu.models.zoo.cd_mamba", "CDMamba", {}),

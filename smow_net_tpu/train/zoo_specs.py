@@ -271,6 +271,29 @@ ZOO_CONVERT_SPECS = {
         ),
         transpose_conv=(r"^convd\dx$",),
     ),
+    "scratchformer": dict(
+        renames=(
+            (r"^block(\d)_(\d)", r"Tenc_x2.block\1.\2"),
+            (r"\.attn\.to_qkv$", ".attn.1.to_qkv"),
+            (r"\.attn\.to_out$", ".attn.1.to_out.0"),
+            (r"\.attn\.rel_pos_bias$", ".attn.1.rel_pos_bias.weight"),
+            (r"\.mlp_fc1$", ".mlp.net.0"),
+            (r"\.mlp_fc2$", ".mlp.net.2"),
+            (r"^(norm[1-4])$", r"Tenc_x2.\1"),
+            (r"^(patch_embed\d)_(proj|norm)$", r"Tenc_x2.\1.\2"),
+            (r"^(linear_c\d)$", r"TDec_x2.\1.proj"),
+            (r"^(ceff\d)\.conv_du$", r"TDec_x2.\1.conv_du.0"),
+            (r"^(ceff\d)\.fc(\d)$", r"TDec_x2.\1.fcs.\2"),
+            (r"^(make_pred_c\d)_conv1$", r"TDec_x2.\1.0"),
+            (r"^(make_pred_c\d)_bn$", r"TDec_x2.\1.2"),
+            (r"^(make_pred_c\d)_conv2$", r"TDec_x2.\1.3"),
+            (r"^linear_fuse$", "TDec_x2.linear_fuse.0"),
+            (r"^linear_fuse_bn$", "TDec_x2.linear_fuse.1"),
+            (r"^(convd\dx|change_probability)$", r"TDec_x2.\1.conv2d"),
+            (r"^(dense_\dx)\.(conv\d)$", r"TDec_x2.\1.0.\2.conv2d"),
+        ),
+        transpose_conv=(r"^convd\dx$",),
+    ),
     "changeformer": dict(
         renames=(
             (r"^block(\d)_(\d)", r"Tenc_x2.block\1.\2"),

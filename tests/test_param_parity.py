@@ -110,6 +110,18 @@ def test_changeformer_params():
     assert our_param_count("changeformer") == torch_count(m) - dead
 
 
+def test_scratchformer_params():
+    from ref_stubs import install_timm_stub
+
+    install_timm_stub()
+    ref = load_reference_module(f"{REF_DIR}/ScratchFormer.py", "ref_scratch")
+    with construct_quiet():
+        m = ref.ScratchFormer(input_nc=3, output_nc=2, embed_dim=256)
+    # no dead modules: the make_pred heads are computed (and discarded) by
+    # the reference's forward, and ours instantiates them the same way
+    assert our_param_count("scratchformer", size=128) == torch_count(m)
+
+
 def test_pa_former_params():
     ref = load_reference_module(f"{REF_DIR}/PA_Former.py", "ref_paf")
     with construct_quiet():

@@ -125,6 +125,18 @@ def test_changeformer_output_parity():
     run_parity("changeformer", m)
 
 
+def test_scratchformer_output_parity():
+    from ref_stubs import install_timm_stub
+
+    install_timm_stub()
+    ref = load_reference_module(f"{REF_DIR}/ScratchFormer.py", "ref_scratch_op")
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.ScratchFormer(input_nc=3, output_nc=2, embed_dim=256)
+    # size 128: stage-4 maps are 4x4, the grid-attention window minimum
+    run_parity("scratchformer", m, size=128)
+
+
 def test_afcf3d_output_parity():
     import test_convert_parity as tcp
 
