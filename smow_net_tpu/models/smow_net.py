@@ -196,27 +196,35 @@ def ofw_tokens_fused(ofw: OFW, tenc: TokenTransformerEncoder, x: jnp.ndarray,
 
     B, T, H, W, C = x.shape
     L = tenc.token_len
+    n = H * W
     flow = ofw.flow(x, train)                     # (B, 2, H, W, 2)
     xb = x.reshape(B * 2, H, W, C)
     fb = flow.reshape(B * 2, H, W, 2)
     a = tenc.attention_logits(xb)                 # (B*2, H, W, L) logits
     aw = flow_warp(a, fb)                         # warped logits
-    a = a.reshape(B, 2, H, W, L)
-    aw = aw.reshape(B, 2, H, W, L)
-    logits = jnp.stack([a[:, 0], aw[:, 0], aw[:, 1], a[:, 1]], axis=1)
-    att = jax.nn.softmax(logits.reshape(B, 4, H * W, L), axis=2)
-    attm = att.reshape(B, 4, H, W, L)
-    # frames 1,2: scatter the softmaxed maps back through the sampling matrix
-    attw = flow_warp_transpose(
-        attm[:, 1:3].reshape(B * 2, H, W, L), fb).reshape(B, 2, H, W, L)
-    n = H * W
-    att01 = jnp.stack([attm[:, 0], attw[:, 0]], 1).reshape(B, 2, n, L)
-    att23 = jnp.stack([attw[:, 1], attm[:, 3]], 1).reshape(B, 2, n, L)
+    # softmax with the NORMALIZATION FOLDED OUT of the n=H*W axis: the
+    # per-(frame, l) 1/Z scalar commutes through both the (linear) scatter
+    # and the pooling einsum, so only exp(x - max) ever touches the 16k-
+    # position tensors and the divide runs on the (B, L, C) tokens — one
+    # fewer elementwise pass (fwd and bwd) over each (B, n, L) map, and the
+    # stacked (B, 4, n, L) softmax tensor never materializes.
+    stopmax = lambda v: v - jax.lax.stop_gradient(
+        jnp.max(v.reshape(B * 2, n, L), axis=1)).reshape(B * 2, 1, 1, L)
+    ea = jnp.exp(stopmax(a))
+    eaw = jnp.exp(stopmax(aw))
+    za = jnp.sum(ea.reshape(B, 2, n, L), axis=2)   # (B, 2, L)
+    zaw = jnp.sum(eaw.reshape(B, 2, n, L), axis=2)
+    # frames 1,2: scatter the (unnormalized) maps through the sampling matrix
+    ew = flow_warp_transpose(eaw, fb).reshape(B, 2, n, L)
+    ea = ea.reshape(B, 2, n, L)
     f0 = x[:, 0].reshape(B, n, C)
     f1 = x[:, 1].reshape(B, n, C)
-    t01 = jnp.einsum("btnl,bnc->btlc", att01, f0)
-    t23 = jnp.einsum("btnl,bnc->btlc", att23, f1)
-    return tenc.finish(jnp.concatenate([t01, t23], axis=1))
+    pool = lambda e, f, z: jnp.einsum("bnl,bnc->blc", e, f) / z[..., None]
+    tok = jnp.stack([
+        pool(ea[:, 0], f0, za[:, 0]), pool(ew[:, 0], f0, zaw[:, 0]),
+        pool(ew[:, 1], f1, zaw[:, 1]), pool(ea[:, 1], f1, za[:, 1]),
+    ], axis=1)                                     # (B, 4, L, C)
+    return tenc.finish(tok)
 
 
 class PixelTransformerDecoder(nn.Module):
