@@ -118,7 +118,8 @@ def bench_train(model):
                 p = jax.tree_util.tree_map(lambda w: w.astype(compute_dtype), p)
             out, mut = model.apply(
                 {"params": p, "batch_stats": stats}, a, b,
-                train=True, mutable=["batch_stats"])
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(7)})
             pred = select_pred(out).astype(jnp.float32)
             return bce_dice_loss(pred, gt), mut["batch_stats"]
 
