@@ -21,10 +21,16 @@ run smow_net train 16 20
 echo "=== lw roofline $(date +%H:%M:%S)"
 PB_ITERS=20 python tools/probe_lw_roofline.py > artifacts/bench_r03/lw_roofline.txt 2>&1
 cat artifacts/bench_r03/lw_roofline.txt
+echo "=== infer stage budget $(date +%H:%M:%S)"
+PB_ITERS=20 python tools/profile_breakdown.py > artifacts/bench_r03/infer_stages.txt 2>&1
+cat artifacts/bench_r03/infer_stages.txt
 echo "=== train stage budget $(date +%H:%M:%S)"
 PB_ITERS=10 python tools/profile_breakdown_train.py > artifacts/bench_r03/train_stages.txt 2>&1
 cat artifacts/bench_r03/train_stages.txt
 echo "=== decoder framemajor A/B $(date +%H:%M:%S)"
 PB_ITERS=10 python tools/probe_dec_framemajor.py > artifacts/bench_r03/dec_framemajor.txt 2>&1
 cat artifacts/bench_r03/dec_framemajor.txt
+echo "=== decoder framemajor A/B fwd-only $(date +%H:%M:%S)"
+PB_FWD=1 PB_ITERS=20 python tools/probe_dec_framemajor.py > artifacts/bench_r03/dec_framemajor_fwd.txt 2>&1
+cat artifacts/bench_r03/dec_framemajor_fwd.txt
 echo "ALL DONE $(date +%H:%M:%S)"

@@ -50,13 +50,33 @@ class FM(nn.Module):
         return fold_t(y)
 
 
+class Eval(nn.Module):
+    """train_kw adapter: run the wrapped block in EVAL mode under the
+    train-harness signature (fwd-only measured via grad w.r.t. inputs is
+    still fwd+bwd; use probe_lw_roofline.timeit for pure fwd)."""
+
+    inner: nn.Module
+
+    @nn.compact
+    def __call__(self, x):
+        return self.inner(x, False)
+
+
 def main():
+    fwd_only = os.environ.get("PB_FWD", "") == "1"
+    if fwd_only:
+        from probe_lw_roofline import timeit as timeit_fwd
     for name, h, cin, feat in STAGES:
         x = r(k(hash(name) % 1000), (BS, h, h, 4 * cin), bf)
-        convops.set_conv3d_impl("auto")
-        timeit(f"{name} {h}x{h} folded tdense", ConvBlock23d(feat), x)
-        convops.set_conv3d_impl("decomposed")
-        timeit(f"{name} {h}x{h} frame-major dec", FM(feat), x)
+        for label, impl, mod in (
+            ("folded tdense", "auto", ConvBlock23d(feat)),
+            ("frame-major dec", "decomposed", FM(feat)),
+        ):
+            convops.set_conv3d_impl(impl)
+            if fwd_only:
+                timeit_fwd(f"{name} {h}x{h} {label} [fwd]", Eval(mod), x)
+            else:
+                timeit(f"{name} {h}x{h} {label}", mod, x)
         convops.set_conv3d_impl("auto")
 
 
