@@ -46,6 +46,29 @@ def _a_log_init(key, shape, dtype=jnp.float32):
     return jnp.broadcast_to(jnp.log(jnp.arange(1, n + 1, dtype=dtype)), shape)
 
 
+def _declare_mamba_params(mod: nn.Module, Di: int, N: int, R: int, d_conv: int):
+    """The 7 mamba_inner parameter leaves, declared on `mod`'s scope (shared
+    by the single-direction core and the params-only module so the fused
+    bidirectional path keeps the exact fwd/bwd param tree)."""
+    return dict(
+        kconv=mod.param("conv1d_kernel",
+                        torch_init.kaiming_uniform_torch(d_conv),
+                        (d_conv, 1, Di)),
+        bconv=mod.param("conv1d_bias",
+                        torch_init.uniform_fan_in_bias(d_conv), (Di,)),
+        xw=mod.param("x_proj_kernel", torch_init.kaiming_uniform_torch(Di),
+                     (Di, R + 2 * N)),
+        dtw=mod.param(
+            "dt_proj_kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32,
+                                            -(R ** -0.5), R ** -0.5),
+            (R, Di)),
+        dt_bias=mod.param("dt_proj_bias", _dt_bias_init(), (Di,)),
+        A_log=mod.param("A_log", _a_log_init, (Di, N)),
+        D=mod.param("D", torch_init.ones, (Di,)),
+    )
+
+
 class Mamba1DCore(nn.Module):
     """One direction of mamba_inner (pre-gate): causal dwconv -> SiLU ->
     input-dependent (dt, B, C) -> selective scan."""
@@ -58,24 +81,58 @@ class Mamba1DCore(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         Di, N, R = self.d_inner, self.d_state, self.dt_rank
-        kconv = self.param("conv1d_kernel", torch_init.kaiming_uniform_torch(self.d_conv),
-                           (self.d_conv, 1, Di))
-        bconv = self.param("conv1d_bias", torch_init.uniform_fan_in_bias(self.d_conv), (Di,))
-        x = nn.silu(causal_conv1d(x, kconv, groups=Di) + bconv)
-        xw = self.param("x_proj_kernel", torch_init.kaiming_uniform_torch(Di), (Di, R + 2 * N))
-        dbl = jnp.matmul(x, xw)
+        p = _declare_mamba_params(self, Di, N, R, self.d_conv)
+        x = nn.silu(causal_conv1d(x, p["kconv"], groups=Di) + p["bconv"])
+        dbl = jnp.matmul(x, p["xw"])
         dt, Bm, Cm = jnp.split(dbl, [R, R + N], axis=-1)
-        dtw = self.param(
-            "dt_proj_kernel",
-            lambda k, s: jax.random.uniform(k, s, jnp.float32, -(R ** -0.5), R ** -0.5),
-            (R, Di),
-        )
-        dt_bias = self.param("dt_proj_bias", _dt_bias_init(), (Di,))
-        delta = jnp.matmul(dt, dtw)
-        A = -jnp.exp(self.param("A_log", _a_log_init, (Di, N)).astype(jnp.float32))
-        D = self.param("D", torch_init.ones, (Di,))
-        return selective_scan_auto(x, delta, A, Bm[:, :, None], Cm[:, :, None], D, dt_bias,
-                              delta_softplus=True)
+        delta = jnp.matmul(dt, p["dtw"])
+        A = -jnp.exp(p["A_log"].astype(jnp.float32))
+        return selective_scan_auto(x, delta, A, Bm[:, :, None], Cm[:, :, None],
+                                   p["D"], p["dt_bias"], delta_softplus=True)
+
+
+class Mamba1DParams(nn.Module):
+    """Params-only twin of Mamba1DCore (same scope layout), consumed by the
+    fused bidirectional path below."""
+
+    d_inner: int
+    d_state: int = 16
+    dt_rank: int = 2
+    d_conv: int = 4
+
+    @nn.compact
+    def __call__(self):
+        return _declare_mamba_params(self, self.d_inner, self.d_state,
+                                     self.dt_rank, self.d_conv)
+
+
+def mamba_bidir(x: jnp.ndarray, pf: dict, pb: dict) -> jnp.ndarray:
+    """fwd(x) + flip(bwd(flip(x))) as ONE selective scan: the two directions
+    are folded into the FEATURE axis (depthwise conv concat, per-direction
+    einsum projections) and the scan runs with groups=2 so each direction
+    keeps its own (B, C) gates. Exact rewrite of two Mamba1DCore calls —
+    quadruples the scan kernel's (batch, group) row count, which is the
+    Pallas kernel's parallelism unit (CD-Mamba's L=H*W sequences at tiny
+    d_inner gave it almost no rows to tile)."""
+    B, L, Di = x.shape
+    N = pf["A_log"].shape[-1]
+    R = pf["dtw"].shape[0]
+    x2 = jnp.concatenate([x, jnp.flip(x, 1)], axis=-1)            # (B, L, 2Di)
+    kconv = jnp.concatenate([pf["kconv"], pb["kconv"]], axis=-1)
+    bconv = jnp.concatenate([pf["bconv"], pb["bconv"]], axis=-1)
+    x2 = nn.silu(causal_conv1d(x2, kconv, groups=2 * Di) + bconv)
+    xw = jnp.stack([pf["xw"], pb["xw"]])                          # (2, Di, R+2N)
+    xd = x2.reshape(B, L, 2, Di)
+    dbl = jnp.einsum("blde,def->bldf", xd, xw)
+    dt, Bm, Cm = jnp.split(dbl, [R, R + N], axis=-1)              # (B, L, 2, ·)
+    dtw = jnp.stack([pf["dtw"], pb["dtw"]])                       # (2, R, Di)
+    delta = jnp.einsum("bldr,dre->blde", dt, dtw).reshape(B, L, 2 * Di)
+    A = -jnp.exp(jnp.concatenate([pf["A_log"], pb["A_log"]], 0).astype(jnp.float32))
+    D = jnp.concatenate([pf["D"], pb["D"]], 0)
+    dt_bias = jnp.concatenate([pf["dt_bias"], pb["dt_bias"]], 0)
+    y = selective_scan_auto(x2, delta, A, Bm, Cm, D, dt_bias,
+                            delta_softplus=True)
+    return y[..., :Di] + jnp.flip(y[..., Di:], 1)
 
 
 class _LocalRelation(nn.Module):
@@ -118,9 +175,9 @@ class ConvMamba(nn.Module):
         local = local.reshape(B, H * W, Di)
         xz = Dense(Di * 2, use_bias=False, name="in_proj")(x)
         xx, z = jnp.split(xz, 2, axis=-1)
-        fwd = Mamba1DCore(Di, self.d_state, R, name="fwd")(xx)
-        bwd = jnp.flip(Mamba1DCore(Di, self.d_state, R, name="bwd")(jnp.flip(xx, 1)), 1)
-        y = (fwd + bwd) * nn.silu(z) + local
+        pf = Mamba1DParams(Di, self.d_state, R, name="fwd")()
+        pb = Mamba1DParams(Di, self.d_state, R, name="bwd")()
+        y = mamba_bidir(xx, pf, pb) * nn.silu(z) + local
         return Dense(self.d_model, use_bias=False, name="out_proj")(y).reshape(B, H, W, Dm)
 
 
@@ -142,9 +199,9 @@ class GatedFusionMamba(nn.Module):
         R = math.ceil(self.d_model / 16)
         xz = Dense(Di * 2, use_bias=False, name="in_proj")(x)
         xx, z = jnp.split(xz, 2, axis=-1)
-        fwd = Mamba1DCore(Di, self.d_state, R, name="fwd")(xx)
-        bwd = jnp.flip(Mamba1DCore(Di, self.d_state, R, name="bwd")(jnp.flip(xx, 1)), 1)
-        y = (fwd + bwd) * nn.silu(z)
+        pf = Mamba1DParams(Di, self.d_state, R, name="fwd")()
+        pb = Mamba1DParams(Di, self.d_state, R, name="bwd")()
+        y = mamba_bidir(xx, pf, pb) * nn.silu(z)
         if self.mode == "local":
             q = _LocalRelation(Di, name="local_relation")(other.reshape(B, H, W, Dm))
             q = q.reshape(B, L, Di)
@@ -172,9 +229,11 @@ class GF(nn.Module):
         n2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         a = n1(x1.reshape(B, H * W, C))
         b = n2(x2.reshape(B, H * W, C))
-        q1 = f(a, b, H, W).reshape(B, H, W, C)
-        q2 = f(b, a, H, W).reshape(B, H, W, C)
-        return q1, q2
+        # both cross-query directions share f's params and every op inside
+        # is batch-independent -> ONE 2B-batched call (exact, halves the
+        # scan-call count)
+        q = f(jnp.concatenate([a, b], 0), jnp.concatenate([b, a], 0), H, W)
+        return (q[:B].reshape(B, H, W, C), q[B:].reshape(B, H, W, C))
 
 
 class SRCMLayer(nn.Module):
@@ -253,8 +312,13 @@ class CDMamba(nn.Module):
                 feats.append(v)
             return feats
 
-        d1 = encode(x1)
-        d2 = encode(x2)
+        # siamese encode as ONE 2B-batched pass: all encoder norms are
+        # Layer/GroupNorm (no batch coupling), so this is exact — and it
+        # doubles the scan kernels' (batch, group) row tiling
+        Bn = x1.shape[0]
+        d12 = encode(jnp.concatenate([x1, x2], axis=0))
+        d1 = [t[:Bn] for t in d12]
+        d2 = [t[Bn:] for t in d12]
 
         diffs = []
         for i, (a, b) in enumerate(zip(d1, d2)):
