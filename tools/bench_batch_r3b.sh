@@ -1,9 +1,11 @@
 #!/bin/bash
-# Round-3 follow-up chip queue (run AFTER bench_batch_r3.sh):
-#  1. change_mamba train re-run (dropout-rng bench fix)
-#  2. flagship infer+train re-bench (post OFW softmax-normalization fold)
-#  3. LW roofline probe (VERDICT weak #2 evidence)
-#  4. train stage budget + decoder ConvBlock lowering A/B
+# Round-3 follow-up chip queue (run AFTER bench_batch_r3.sh), importance-first
+# so a time-out leaves the headline artifacts behind:
+#  1. flagship infer+train re-bench (post OFW softmax-normalization fold)
+#  2. LW roofline probe (VERDICT weak #2 evidence)
+#  3. train stage budget + decoder ConvBlock lowering A/B + infer stages
+# (the change_mamba train re-run was dropped: bench_batch_r3.sh already runs
+# it with the dropout-rng fix in place)
 set -u
 cd /root/repo
 mkdir -p artifacts/bench_r03
@@ -15,21 +17,20 @@ run() {
     BENCH_DTYPE=bf16 python bench.py > "$out" 2> artifacts/bench_r03/${model}_${mode}.log
   cat "$out"
 }
-run change_mamba train 4 10
 run smow_net infer 16 20
 run smow_net train 16 20
 echo "=== lw roofline $(date +%H:%M:%S)"
 PB_ITERS=20 python tools/probe_lw_roofline.py > artifacts/bench_r03/lw_roofline.txt 2>&1
 cat artifacts/bench_r03/lw_roofline.txt
-echo "=== infer stage budget $(date +%H:%M:%S)"
-PB_ITERS=20 python tools/profile_breakdown.py > artifacts/bench_r03/infer_stages.txt 2>&1
-cat artifacts/bench_r03/infer_stages.txt
 echo "=== train stage budget $(date +%H:%M:%S)"
 PB_ITERS=10 python tools/profile_breakdown_train.py > artifacts/bench_r03/train_stages.txt 2>&1
 cat artifacts/bench_r03/train_stages.txt
 echo "=== decoder framemajor A/B $(date +%H:%M:%S)"
 PB_ITERS=10 python tools/probe_dec_framemajor.py > artifacts/bench_r03/dec_framemajor.txt 2>&1
 cat artifacts/bench_r03/dec_framemajor.txt
+echo "=== infer stage budget $(date +%H:%M:%S)"
+PB_ITERS=20 python tools/profile_breakdown.py > artifacts/bench_r03/infer_stages.txt 2>&1
+cat artifacts/bench_r03/infer_stages.txt
 echo "=== decoder framemajor A/B fwd-only $(date +%H:%M:%S)"
 PB_FWD=1 PB_ITERS=20 python tools/probe_dec_framemajor.py > artifacts/bench_r03/dec_framemajor_fwd.txt 2>&1
 cat artifacts/bench_r03/dec_framemajor_fwd.txt
