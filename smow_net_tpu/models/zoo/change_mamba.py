@@ -61,8 +61,13 @@ class ChangeMamba(nn.Module):
         encoder = VSSM(self.depths, self.dims, drop_path_rate=self.drop_path_rate,
                        patchembed_version="v2", downsample_version="v2",
                        use_checkpoint=self.use_checkpoint, name="encoder")
-        f_pre = encoder(pre, train)
-        f_post = encoder(post, train)
+        # Siamese encode as ONE 2B-batched pass: the VSSM is LayerNorm-only
+        # (no batch-coupled stats), so this is numerically exact and gives the
+        # scan kernel 2x the (batch, group) rows to tile per call.
+        B = pre.shape[0]
+        feats = encoder(jnp.concatenate([pre, post], axis=0), train)
+        f_pre = [f[:B] for f in feats]
+        f_post = [f[B:] for f in feats]
 
         def level(i, a, b):
             B, H, W, C = a.shape

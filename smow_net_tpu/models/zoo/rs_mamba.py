@@ -81,8 +81,13 @@ class RSMCD(nn.Module):
                 feats.append(v)
             return feats
 
-        f1 = encode(x1)
-        f2 = encode(x2)
+        # Siamese encode as ONE 2B-batched pass: the encoder is LayerNorm-only
+        # (no batch-coupled stats), so this is numerically exact and gives the
+        # scan kernel 2x the (batch, group) rows to tile per call.
+        B = x1.shape[0]
+        f12 = encode(jnp.concatenate([x1, x2], axis=0))
+        f1 = [f[:B] for f in f12]
+        f2 = [f[B:] for f in f12]
 
         def fuse(i, a, b):
             y = Conv(dims[i], 1, use_bias=False, name=f"fuse_block{i + 1}")(
