@@ -43,10 +43,15 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["selective_scan_fused", "selective_scan_fused_grouped",
            "fused_supported"]
 
-_VMEM_LIMIT = 64 * 1024 * 1024
-
-
 import os as _os
+
+# v5e VMEM is 128 MiB; 64 MiB was measured 928 KiB short for the cd_mamba
+# ConvMamba backward at (bt=8, L=65536, Cg=32, N=16) — the double-buffered
+# operand slabs plus the h-checkpoint scratch land at 64.91 MiB
+# (artifacts/bench_r03/cd_mamba_train.log). 100 MiB leaves compile headroom
+# without starving the rest of the program.
+_VMEM_LIMIT = int(_os.environ.get("SCAN_FUSED_VMEM_LIMIT",
+                                  str(100 * 1024 * 1024)))
 
 # per-row op-size target for the bt tiling (elements) and the unrolled
 # rows per slab. v5e sweep at the dominant change_mamba shape (VSSBlock
