@@ -192,7 +192,7 @@ def ofw_tokens_fused(ofw: OFW, tenc: TokenTransformerEncoder, x: jnp.ndarray,
     softmaxed maps back (both C=8) instead of warping the C=32 features —
     half the one-hot-matmul work, bit-identical math up to fp rounding
     (reference behavior: models/SMOW_Net.py:612-637 + 161-190)."""
-    from ..ops.warp import flow_warp_transpose
+    from ..ops.warp import token_softmax_scatter
 
     B, T, H, W, C = x.shape
     L = tenc.token_len
@@ -201,21 +201,22 @@ def ofw_tokens_fused(ofw: OFW, tenc: TokenTransformerEncoder, x: jnp.ndarray,
     xb = x.reshape(B * 2, H, W, C)
     fb = flow.reshape(B * 2, H, W, 2)
     a = tenc.attention_logits(xb)                 # (B*2, H, W, L) logits
-    aw = flow_warp(a, fb)                         # warped logits
     # softmax with the NORMALIZATION FOLDED OUT of the n=H*W axis: the
     # per-(frame, l) 1/Z scalar commutes through both the (linear) scatter
     # and the pooling einsum, so only exp(x - max) ever touches the 16k-
     # position tensors and the divide runs on the (B, L, C) tokens — one
     # fewer elementwise pass (fwd and bwd) over each (B, n, L) map, and the
     # stacked (B, 4, n, L) softmax tensor never materializes.
+    # Frames 1,2: the whole warp -> exp -> scatter chain runs as one fused
+    # op (ops/warp.token_softmax_scatter — single Pallas kernel fwd and bwd
+    # on TPU; the shared max_n a shift is exact, see its docstring).
+    ew, zaw = token_softmax_scatter(a, fb)
+    ew = ew.reshape(B, 2, n, L)
+    zaw = zaw.reshape(B, 2, L)
     stopmax = lambda v: v - jax.lax.stop_gradient(
         jnp.max(v.reshape(B * 2, n, L), axis=1)).reshape(B * 2, 1, 1, L)
     ea = jnp.exp(stopmax(a))
-    eaw = jnp.exp(stopmax(aw))
     za = jnp.sum(ea.reshape(B, 2, n, L), axis=2)   # (B, 2, L)
-    zaw = jnp.sum(eaw.reshape(B, 2, n, L), axis=2)
-    # frames 1,2: scatter the (unnormalized) maps through the sampling matrix
-    ew = flow_warp_transpose(eaw, fb).reshape(B, 2, n, L)
     ea = ea.reshape(B, 2, n, L)
     f0 = x[:, 0].reshape(B, n, C)
     f1 = x[:, 1].reshape(B, n, C)

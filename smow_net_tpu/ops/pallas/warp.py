@@ -48,7 +48,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["grid_sample_pallas", "grid_sample_transpose_pallas",
-           "grid_sample_transpose_vjp_pallas", "pallas_warp_supported"]
+           "grid_sample_transpose_vjp_pallas", "pallas_warp_supported",
+           "token_scatter_pallas"]
 
 # 256 pixels per tile: per-program fixed overhead (dispatch, idxw loads,
 # output writes) was a measurable share of kernel time at 128; doubling the
@@ -545,3 +546,268 @@ def _bwd(padding_mode, align_corners, interpret, res, gy):
 
 
 grid_sample_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused token-path warp: the OFW token pipeline's whole warped-softmax-scatter
+# chain  aw = S a;  eaw = exp(aw - m);  ew = S^T eaw;  zaw = sum_n eaw
+# (models/smow_net.py ofw_tokens_fused) as ONE kernel forward and ONE kernel
+# backward. Unfused, this is 2 fwd + 2 bwd pallas_calls (warp, scatter, and
+# their VJPs) that all rebuild the same one-hot masks from the same flow
+# field, plus XLA elementwise passes and an HBM roundtrip for aw/eaw between
+# them. Exactness of the shared max: border-mode bilinear weights are convex
+# (>= 0, sum 1), so aw <= max_n a and m = max_n a is a safe softmax shift;
+# softmax is shift-invariant, so the result is mathematically identical to
+# shifting by max_n aw. eaw is never materialized in HBM — the backward
+# recomputes it from the v_a gather it needs for the grid gradient anyway.
+# ---------------------------------------------------------------------------
+
+
+def _tok_kernel(idxw_ref, xt_ref, m_ref, ew_ref, z_ref, *,
+                H: int, W: int, C: int):
+    """Per pixel tile: gather+lerp the logits (1 matmul), exponentiate
+    against the per-(frame, l) shift m, accumulate zaw, and scatter the
+    unnormalized exp back into the image grid (1 matmul)."""
+    tp = idxw_ref.shape[-1]
+    y0 = idxw_ref[0, 0:1, :]
+    y1 = idxw_ref[0, 1:2, :]
+    wy0 = idxw_ref[0, 2:3, :]
+    wy1 = idxw_ref[0, 3:4, :]
+    x0 = idxw_ref[0, 4:5, :]
+    x1 = idxw_ref[0, 5:6, :]
+    wx0 = idxw_ref[0, 6:7, :]
+    wx1 = idxw_ref[0, 7:8, :]
+
+    xt = xt_ref[0]                                  # (W*C, H) logits
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
+    prec = _prec(xt.dtype)
+    wvt = (wy0 * (ioh == y0.astype(jnp.int32))
+           + wy1 * (ioh == y1.astype(jnp.int32)))   # (H, tp)
+    fh = (wx0 * (iw == x0.astype(jnp.int32))
+          + wx1 * (iw == x1.astype(jnp.int32)))     # (W, tp)
+    v = jax.lax.dot_general(xt, wvt.astype(xt.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)         # (W*C, tp)
+    whx = jnp.broadcast_to(fh[:, None, :], (W, C, tp)).reshape(W * C, tp)
+    t = v * whx
+    rows = W * C
+    while rows > C:
+        rows //= 2
+        t = t[:rows, :] + t[rows:, :]               # aw (C, tp) fp32
+    m = m_ref[0][:, 0:1]                            # (C, 1)
+    eaw = jnp.exp(t - m)                            # (C, tp) fp32
+
+    part = jnp.sum(eaw, axis=1, keepdims=True)      # (C, 1)
+    whg = (fh[:, None, :] * eaw[None, :, :]).reshape(W * C, tp)
+    contrib = jax.lax.dot_general(
+        whg.astype(xt.dtype), wvt.astype(xt.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # (W*C, H)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        ew_ref[0] = jnp.zeros_like(ew_ref[0])
+        z_ref[0] = jnp.zeros_like(z_ref[0])
+
+    ew_ref[0] += contrib
+    z_ref[0] += jnp.broadcast_to(part, (C, 128))
+
+
+def _tok_bwd_kernel(idxw_ref, at_ref, ebt_ref, mz_ref, dat_ref, dw_ref, *,
+                    H: int, W: int, C: int):
+    """The entire VJP of the token warp chain in one pass. Inputs: the primal
+    logits a (as (W*C, H)), the image-side cotangent of ew, and the tiny
+    per-(frame, l) [m; dzaw] rows. Per pixel tile, five matmuls:
+
+      v_a  = a-gather        -> recompute aw -> eaw; dwx2-fold source
+      v_eb = ewbar-gather    -> dg = S ewbar (fold);  dwx1-fold source
+      daw  = (dg + dzaw) * eaw
+      da  += (Wh (x) daw) @ Wv^T                      (scatter, accumulated)
+      z_a  = a @ (Wh (x) daw);  z_e = ewbar @ (Wh (x) eaw)
+      dwy_k = sum_h OH_k . (z_a + z_e)   (the two grid-grads sum — same grid)
+    """
+    tp = idxw_ref.shape[-1]
+    y0 = idxw_ref[0, 0:1, :]
+    y1 = idxw_ref[0, 1:2, :]
+    wy0 = idxw_ref[0, 2:3, :]
+    wy1 = idxw_ref[0, 3:4, :]
+    x0 = idxw_ref[0, 4:5, :]
+    x1 = idxw_ref[0, 5:6, :]
+    wx0 = idxw_ref[0, 6:7, :]
+    wx1 = idxw_ref[0, 7:8, :]
+
+    at = at_ref[0]                                  # (W*C, H) primal logits
+    ebt = ebt_ref[0]                                # (W*C, H) ew cotangent
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
+    oh0 = (ioh == y0.astype(jnp.int32)).astype(jnp.float32)
+    oh1 = (ioh == y1.astype(jnp.int32)).astype(jnp.float32)
+    fx0 = (iw == x0.astype(jnp.int32)).astype(jnp.float32)
+    fx1 = (iw == x1.astype(jnp.int32)).astype(jnp.float32)
+    wvt = wy0 * oh0 + wy1 * oh1                     # (H, tp)
+    fh = wx0 * fx0 + wx1 * fx1                      # (W, tp)
+    whx = jnp.broadcast_to(fh[:, None, :], (W, C, tp)).reshape(W * C, tp)
+    prec = _prec(at.dtype)
+    dims_g = (((1,), (0,)), ((), ()))               # gather: (WC,H)@(H,tp)
+    dims_z = (((0,), (0,)), ((), ()))               # z: contract WC
+
+    v_a = jax.lax.dot_general(at, wvt.astype(at.dtype), dims_g,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)       # (W*C, tp)
+    v_eb = jax.lax.dot_general(ebt, wvt.astype(ebt.dtype), dims_g,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)      # (W*C, tp)
+
+    def fold(t):
+        rows = W * C
+        while rows > C:
+            rows //= 2
+            t = t[:rows, :] + t[rows:, :]
+        return t
+
+    aw = fold(v_a * whx)                            # (C, tp)
+    dg = fold(v_eb * whx)                           # (C, tp) = S ewbar
+    m = mz_ref[0][:C, 0:1]                          # (C, 1)
+    dz = mz_ref[0][C:, 0:1]                         # (C, 1)
+    eaw = jnp.exp(aw - m)
+    daw = (dg + dz) * eaw                           # (C, tp)
+
+    whg_daw = (fh[:, None, :] * daw[None, :, :]).reshape(W * C, tp)
+    whg_eaw = (fh[:, None, :] * eaw[None, :, :]).reshape(W * C, tp)
+    contrib = jax.lax.dot_general(
+        whg_daw.astype(at.dtype), wvt.astype(at.dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec)                             # (W*C, H)
+    z_a = jax.lax.dot_general(at, whg_daw.astype(at.dtype), dims_z,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)       # (H, tp)
+    z_e = jax.lax.dot_general(ebt, whg_eaw.astype(ebt.dtype), dims_z,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)       # (H, tp)
+    z_sum = z_a + z_e
+    s_a = jnp.sum(v_a.reshape(W, C, tp) * daw[None, :, :], axis=1)  # (W, tp)
+    s_e = jnp.sum(v_eb.reshape(W, C, tp) * eaw[None, :, :], axis=1)
+    s_sum = s_a + s_e
+    zero = jnp.zeros((1, tp), jnp.float32)
+    dw_ref[0] = jnp.concatenate([
+        zero, zero,
+        jnp.sum(oh0 * z_sum, axis=0, keepdims=True),
+        jnp.sum(oh1 * z_sum, axis=0, keepdims=True),
+        zero, zero,
+        jnp.sum(fx0 * s_sum, axis=0, keepdims=True),
+        jnp.sum(fx1 * s_sum, axis=0, keepdims=True),
+    ], axis=0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dat_ref[0] = jnp.zeros_like(dat_ref[0])
+
+    dat_ref[0] += contrib
+
+
+def _tok_forward(a, grid, m, interpret=False):
+    B, H, W, C = a.shape
+    P = H * W
+    idxw = _corner_indices_weights(grid, H, W, "border", True)
+    at = a.reshape(B, H, W * C).transpose(0, 2, 1)
+    mb = jnp.broadcast_to(m.astype(jnp.float32)[:, :, None], (B, C, 128))
+
+    tp = _pick_tile(P, W * C * 2, floor=_TILE_P)
+    kernel = functools.partial(_tok_kernel, H=H, W=W, C=C)
+    ewt, z = pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W * C, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(idxw, at, mb)
+    ew = ewt.transpose(0, 2, 1).reshape(B, H, W, C).astype(a.dtype)
+    return ew, z[:, :, 0].astype(a.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def token_scatter_pallas(a, grid, interpret=False):
+    """(ew, zaw) of the token warp chain: ew = S^T exp(S a - m),
+    zaw = sum_n exp(S a - m) with m = stop_grad(max_n a) per (frame, l) —
+    border mode, align_corners=True (the OFW recipe). a: (B, H, W, C) logits,
+    grid: (B, H, W, 2). One fused kernel each way; see module comment."""
+    m = jax.lax.stop_gradient(jnp.max(a, axis=(1, 2)))
+    return _tok_forward(a, grid, m, interpret)
+
+
+def _tok_fwd(a, grid, interpret):
+    m = jax.lax.stop_gradient(jnp.max(a, axis=(1, 2)))
+    return _tok_forward(a, grid, m, interpret), (a, grid, m)
+
+
+def _tok_bwd(interpret, res, cots):
+    a, grid, m = res
+    ew_bar, dz = cots
+    B, H, W, C = a.shape
+    P = H * W
+    idxw, f_vjp = jax.vjp(
+        lambda g: _corner_indices_weights(g, H, W, "border", True), grid)
+    at = a.reshape(B, H, W * C).transpose(0, 2, 1)
+    ebt = ew_bar.reshape(B, H, W * C).transpose(0, 2, 1).astype(a.dtype)
+    mz = jnp.concatenate([m.astype(jnp.float32),
+                          dz.astype(jnp.float32)], axis=1)
+    mzb = jnp.broadcast_to(mz[:, :, None], (B, 2 * C, 128))
+
+    tp = _pick_tile(P, W * C * 3, floor=_TILE_P_BWD)
+    kernel = functools.partial(_tok_bwd_kernel, H=H, W=W, C=C)
+    dat, dw = pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * C, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W * C, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, P), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(idxw, at, ebt, mzb)
+    da = dat.transpose(0, 2, 1).reshape(B, H, W, C).astype(a.dtype)
+    (dgrid,) = f_vjp(dw)
+    return da, dgrid
+
+
+token_scatter_pallas.defvjp(_tok_fwd, _tok_bwd)

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["grid_sample", "grid_sample_auto", "grid_sample_transpose",
-           "set_warp_impl", "flow_warp", "flow_warp_transpose"]
+           "set_warp_impl", "flow_warp", "flow_warp_transpose",
+           "token_softmax_scatter"]
 
 _IMPL = "auto"
 
@@ -210,6 +211,40 @@ def flow_warp_transpose(g: jnp.ndarray, flow: jnp.ndarray,
     B, H, W, _ = g.shape
     grid = _flow_grid(flow, H, W)
     return grid_sample_transpose(g, grid, (H, W), "border", align_corners)
+
+
+def token_softmax_scatter(a: jnp.ndarray, flow: jnp.ndarray):
+    """The OFW token path's warped-softmax-scatter chain as one op:
+
+        aw  = flow_warp(a, flow)              (bilinear, border, align=True)
+        eaw = exp(aw - m),  m = stop_grad(max_n a)  per (frame, l)
+        ew  = flow_warp_transpose(eaw, flow)
+        zaw = sum_n eaw
+
+    Returns (ew, zaw). Using max_n a as the softmax shift is exact: border
+    bilinear weights are convex so aw <= max_n a, and downstream softmax
+    normalization is shift-invariant. On TPU (supported shapes) this runs as
+    ONE Pallas kernel forward and one backward (pallas/warp.token_scatter_
+    pallas) — the unfused composition pays 2 fwd + 2 bwd kernels that all
+    rebuild the same one-hot masks, plus an HBM roundtrip for aw/eaw."""
+    B, H, W, C = a.shape
+    impl = _IMPL
+    if impl == "auto":
+        from .pallas.warp import pallas_warp_supported
+
+        impl = "pallas" if (jax.default_backend() == "tpu"
+                            and pallas_warp_supported(a.shape, (B, H, W, 2))
+                            ) else "xla"
+    grid = _flow_grid(flow, H, W)
+    if impl == "pallas":
+        from .pallas.warp import token_scatter_pallas
+
+        return token_scatter_pallas(a, grid)
+    m = jax.lax.stop_gradient(jnp.max(a, axis=(1, 2), keepdims=True))
+    aw = grid_sample_auto(a, grid, "border", True)
+    eaw = jnp.exp(aw - m)
+    ew = grid_sample_transpose(eaw, grid, (H, W), "border", True)
+    return ew, jnp.sum(eaw, axis=(1, 2))
 
 
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:

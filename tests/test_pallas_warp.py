@@ -81,6 +81,69 @@ def test_supported_gating():
     assert not pallas_warp_supported((1, 16, 16, 3), (1, 16, 16, 2))  # C % 8
 
 
+def _token_chain_ref(a, grid):
+    """Unfused reference of token_scatter_pallas: warp -> exp(. - max_n a)
+    -> scatter, plus the zaw row sums (all XLA, differentiable)."""
+    Bq, Hq, Wq, Cq = a.shape
+    m = jax.lax.stop_gradient(jnp.max(a, axis=(1, 2), keepdims=True))
+    aw = grid_sample(a, grid, "border", True)
+    eaw = jnp.exp(aw - m)
+    x0 = jnp.zeros((Bq, Hq, Wq, Cq), a.dtype)
+    _, vjpf = jax.vjp(lambda x: grid_sample(x, grid, "border", True), x0)
+    return vjpf(eaw)[0], jnp.sum(eaw, axis=(1, 2))
+
+
+def test_token_scatter_forward():
+    from smow_net_tpu.ops.pallas.warp import token_scatter_pallas
+
+    x, grid = _rand(11)
+    ref_ew, ref_z = _token_chain_ref(x, grid)
+    ew, z = token_scatter_pallas(x, grid, True)
+    np.testing.assert_allclose(np.asarray(ew), np.asarray(ref_ew),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref_z),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_token_scatter_grads():
+    from smow_net_tpu.ops.pallas.warp import token_scatter_pallas
+
+    x, grid = _rand(12)
+    r1 = jax.random.normal(jax.random.PRNGKey(13), x.shape)
+    r2 = jax.random.normal(jax.random.PRNGKey(14), (B, C))
+
+    def loss_pl(a, g):
+        ew, z = token_scatter_pallas(a, g, True)
+        return jnp.sum(ew * r1) + jnp.sum(z * r2)
+
+    def loss_ref(a, g):
+        ew, z = _token_chain_ref(a, g)
+        return jnp.sum(ew * r1) + jnp.sum(z * r2)
+
+    gp = jax.grad(loss_pl, argnums=(0, 1))(x, grid)
+    gx = jax.grad(loss_ref, argnums=(0, 1))(x, grid)
+    for got, want in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_token_softmax_scatter_fallback_matches_unfused():
+    # the ops.warp router on CPU must produce the same (ew, zaw) pair —
+    # after normalization, identical to the legacy per-output-max chain
+    from smow_net_tpu.ops.warp import token_softmax_scatter
+
+    x, _ = _rand(15)
+    flow = jax.random.normal(jax.random.PRNGKey(16), (B, H, W, 2)) * 2.0
+    from smow_net_tpu.ops.warp import _flow_grid
+
+    grid = _flow_grid(flow, H, W)
+    ref_ew, ref_z = _token_chain_ref(x, grid)
+    ew, z = token_softmax_scatter(x, flow)
+    np.testing.assert_allclose(np.asarray(ew / z[:, None, None, :]),
+                               np.asarray(ref_ew / ref_z[:, None, None, :]),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("padding_mode", ["border", "zeros"])
 def test_transpose_vjp_fused_kernel(padding_mode):
     """grid_sample_transpose_vjp_pallas (the one-kernel VJP of the scatter
