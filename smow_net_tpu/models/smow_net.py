@@ -354,26 +354,58 @@ class ConvTransBlock3d(nn.Module):
         return nn.leaky_relu(y, 0.2)
 
 
+# ConvBlock23d skip-concat lowering: conv1 reads the decoder stream and the
+# skip tensor as SEPARATE convs (conv(concat(y, f)) == conv(y; k[:Cy]) +
+# conv(f; k[Cy:]) by linearity of the contraction) so the concatenated
+# tensor — up to 134 MB at the 128² stage — never materializes in HBM.
+# Param tree unchanged (the declared kernel is sliced at trace time).
+# A/B toggle for the chip probe; default set by measurement (off until the
+# split form wins on-chip — XLA may already fuse the concat into the conv's
+# input read, in which case two convs just halve the arithmetic intensity).
+_CATSPLIT = False
+
+
+def set_convblock_catsplit(v: bool):
+    global _CATSPLIT
+    _CATSPLIT = v
+
+
 class ConvBlock23d(nn.Module):
     """Two 3x3x3 convs with BN; LeakyReLU only between them (reference
     conv_block_2_3d, models/SMOW_Net.py:142-156 — no final activation).
     Accepts (B,4,H,W,C) or T-folded (B,H,W,4C) — folded runs the block-banded
-    tdense kernels directly, with no transposes."""
+    tdense kernels directly, with no transposes. The folded form also accepts
+    a PAIR (decoder stream, skip) and contracts each addend separately
+    instead of materializing their per-frame channel concat (see _CATSPLIT)."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        if x.ndim == 5:
+    def __call__(self, x, train: bool) -> jnp.ndarray:
+        pair = isinstance(x, tuple)
+        if pair and not _CATSPLIT:
+            x = _cat_folded(x[0], x[1], 4)
+            pair = False
+        if not pair and x.ndim == 5:
             y = Conv(self.features, 3, 1, 1, name="conv1")(x)
             y = batch_norm("bn1")(y, use_running_average=not train)
             y = nn.leaky_relu(y, 0.2)
             y = Conv(self.features, 3, 1, 1, name="conv2")(y)
             return batch_norm("bn2")(y, use_running_average=not train)
         T = 4
-        Cin = x.shape[-1] // T
-        k1, b1 = ConvParams((3, 3, 3, Cin, self.features), name="conv1")()
-        y = convops.conv3d_folded(x, k1.astype(x.dtype), T)
+        if pair:
+            a, b = x
+            Ca = a.shape[-1] // T
+            Cb = b.shape[-1] // T
+            Cin = Ca + Cb
+            k1, b1 = ConvParams((3, 3, 3, Cin, self.features), name="conv1")()
+            k1 = k1.astype(a.dtype)
+            y = (convops.conv3d_folded(a, k1[:, :, :, :Ca], T)
+                 + convops.conv3d_folded(b, k1[:, :, :, Ca:], T))
+        else:
+            Cin = x.shape[-1] // T
+            k1, b1 = ConvParams((3, 3, 3, Cin, self.features), name="conv1")()
+            y = convops.conv3d_folded(x, k1.astype(x.dtype), T)
         y = y + jnp.tile(b1, T).astype(y.dtype)
         y = _bn_folded(batch_norm("bn1"), y, train, T)
         y = nn.leaky_relu(y, 0.2)
@@ -409,15 +441,15 @@ class SMOWNet(nn.Module):
 
         y = max_pool(f4, (2, 2), (2, 2))
         y = ConvTransBlock3d(256, name="C3DT1")(y, train)
-        y = ConvBlock23d(128, name="C3D1")(_cat_folded(y, f4, 4), train)
+        y = ConvBlock23d(128, name="C3D1")((y, f4), train)
         y = ConvTransBlock3d(128, name="C3DT2")(y, train)
-        y = ConvBlock23d(64, name="C3D2")(_cat_folded(y, f3, 4), train)
+        y = ConvBlock23d(64, name="C3D2")((y, f3), train)
         y = ConvTransBlock3d(64, name="C3DT3")(y, train)
-        y = ConvBlock23d(64, name="C3D3")(_cat_folded(y, f2, 4), train)
+        y = ConvBlock23d(64, name="C3D3")((y, f2), train)
         y = ConvTransBlock3d(64, name="C3DT4")(y, train)
-        y = ConvBlock23d(32, name="C3D4")(_cat_folded(y, f1, 4), train)
+        y = ConvBlock23d(32, name="C3D4")((y, f1), train)
         y = ConvTransBlock3d(32, name="C3DT5")(y, train)
-        y = ConvBlock23d(32, name="C3D5")(_cat_folded(y, x0, 4), train)
+        y = ConvBlock23d(32, name="C3D5")((y, x0), train)
 
         y = PixelTransformerDecoder(128, folded_input=True,
                                     name="Transformer_Decoder")(y, tokens)

@@ -200,3 +200,26 @@ def test_folded_dense_impl_matches_grouped():
         np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                    atol=5e-3 * max(1e-3, float(np.max(np.abs(p)))),
                                    rtol=2e-3)
+
+
+def test_convblock_catsplit_equivalence():
+    """conv(concat(y, f)) == conv(y; k[:Cy]) + conv(f; k[Cy:]) — the
+    skip-concat split lowering must match the concat form exactly (same
+    params, fp-assoc tolerance)."""
+    from smow_net_tpu.models import smow_net as sn
+
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(size=(2, 16, 16, 4 * 8)), jnp.float32)
+    f = jnp.asarray(rng.normal(size=(2, 16, 16, 4 * 8)), jnp.float32)
+    blk = sn.ConvBlock23d(16)
+    variables = blk.init(jax.random.PRNGKey(0), (y, f), False)
+    old = sn._CATSPLIT
+    try:
+        sn.set_convblock_catsplit(False)
+        ref = blk.apply(variables, (y, f), False)
+        sn.set_convblock_catsplit(True)
+        out = blk.apply(variables, (y, f), False)
+    finally:
+        sn.set_convblock_catsplit(old)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

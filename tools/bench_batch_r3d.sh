@@ -48,3 +48,7 @@ PB_ONLY=ofwtok PB_ITERS=20 python tools/profile_breakdown.py \
   > artifacts/bench_r03/ofw_stage_infer.txt 2>&1
 tail -8 artifacts/bench_r03/ofw_stage_infer.txt
 echo "ALL DONE $(date +%H:%M:%S)"
+echo "=== decoder catsplit A/B $(date +%H:%M:%S)"
+PB_ITERS=10 python tools/probe_dec_catsplit.py > artifacts/bench_r03/dec_catsplit.txt 2>&1
+tail -8 artifacts/bench_r03/dec_catsplit.txt
+echo "R3D EXTENDED DONE $(date +%H:%M:%S)"
