@@ -167,8 +167,13 @@ def main():
     pairs_per_sec = BATCH * ITERS / dt
     mfu = flops * ITERS / dt / V5E_BF16_PEAK if flops == flops else None
 
-    baseline_file = ("BENCH_BASELINE_train.json" if MODE == "train"
-                     else "BENCH_BASELINE.json")
+    # baselines are PER MODEL (comparing a zoo model against the flagship's
+    # baseline produced meaningless ratios): the flagship keeps the legacy
+    # file names, other models read baselines/BENCH_BASELINE_{model}[_train]
+    # (seeded from each model's first recorded measurement)
+    tag = "_train" if MODE == "train" else ""
+    baseline_file = (f"BENCH_BASELINE{tag}.json" if MODEL == "smow_net"
+                     else f"baselines/BENCH_BASELINE_{MODEL}{tag}.json")
     baseline = None
     if os.path.exists(baseline_file):
         try:
