@@ -52,3 +52,7 @@ echo "=== decoder catsplit A/B $(date +%H:%M:%S)"
 PB_ITERS=10 python tools/probe_dec_catsplit.py > artifacts/bench_r03/dec_catsplit.txt 2>&1
 tail -8 artifacts/bench_r03/dec_catsplit.txt
 echo "R3D EXTENDED DONE $(date +%H:%M:%S)"
+echo "=== prefix probe (infer glue localization) $(date +%H:%M:%S)"
+PB_ITERS=20 python tools/probe_prefix.py > artifacts/bench_r03/prefix_infer.txt 2>&1
+tail -12 artifacts/bench_r03/prefix_infer.txt
+echo "R3D EXTENDED2 DONE $(date +%H:%M:%S)"
