@@ -65,6 +65,10 @@ def parse_option():
                    help="activation rematerialization for the Mamba models "
                         "(reference use_checkpoint, vmamba.py:1388-1392): "
                         "recompute SS2D in backward to fit large batches")
+    p.add_argument("--profile", type=str, default="",
+                   help="write a jax.profiler trace of training steps "
+                        "11-15 of the first epoch to this directory "
+                        "(view with tensorboard/xprof; SURVEY §5 tracing)")
     return p.parse_args()
 
 
@@ -174,7 +178,22 @@ def main(opt):
         # windowed loss meter (reference AvgMeter(num=40), utils/func.py:11-31);
         # device arrays are held lazily and only synced at print time
         window = collections.deque(maxlen=40)
+        tracing = False
         for i, batch in enumerate(prefetch_to_device(iter(train_loader), mesh), start=1):
+            # profile a post-warmup window (step 11, after compile + cache
+            # effects settle) so the trace shows steady-state step structure;
+            # short epochs fall back to starting at step 1
+            if opt.profile and epoch == start_epoch:
+                if i == (11 if iters_per_epoch >= 16 else 1):
+                    jax.profiler.start_trace(opt.profile)
+                    tracing = True
+                elif tracing and i == (16 if iters_per_epoch >= 16 else
+                                       min(6, iters_per_epoch)):
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), state.params)
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    print(f"profiler trace written to {opt.profile}")
             state, loss = train_step(state, batch)
             window.append(loss)
             if i % 100 == 0 or i == iters_per_epoch:
@@ -183,6 +202,9 @@ def main(opt):
                     f"Epoch [{epoch:03d}/{opt.epochs:03d}], Step [{i:04d}/{iters_per_epoch:04d}],"
                     f" Loss: {avg:.4f}"
                 )
+        if tracing:  # epoch too short to hit the stop step
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {opt.profile}")
         train_scores = cm2score(np.asarray(state.cm))
         train_loss = float(state.loss_sum / jnp.maximum(state.loss_count, 1))
         print(f"Epoch {epoch} train: {train_scores} loss={train_loss:.4f} "
