@@ -363,11 +363,17 @@ class ConvTransBlock3d(nn.Module):
 # split form wins on-chip — XLA may already fuse the concat into the conv's
 # input read, in which case two convs just halve the arithmetic intensity).
 _CATSPLIT = False
+# Second rung (implies the split): the skip operand arrives PRE-LIFT
+# (T=2-folded) and conv1 contracts it with the lift-composed kernel
+# (ops/convops.tdense_lift24_kernel) — the T=4 lifted skip (67 MB at the
+# 128² stage) never materializes. Same MAC count; off until probed.
+_LIFTFOLD = False
 
 
-def set_convblock_catsplit(v: bool):
-    global _CATSPLIT
+def set_convblock_catsplit(v: bool, liftfold: bool = False):
+    global _CATSPLIT, _LIFTFOLD
     _CATSPLIT = v
+    _LIFTFOLD = liftfold and v
 
 
 class ConvBlock23d(nn.Module):
@@ -396,12 +402,16 @@ class ConvBlock23d(nn.Module):
         if pair:
             a, b = x
             Ca = a.shape[-1] // T
-            Cb = b.shape[-1] // T
+            # under _LIFTFOLD the skip arrives T=2-folded (pre-lift)
+            Cb = b.shape[-1] // (2 if _LIFTFOLD else T)
             Cin = Ca + Cb
             k1, b1 = ConvParams((3, 3, 3, Cin, self.features), name="conv1")()
             k1 = k1.astype(a.dtype)
-            y = (convops.conv3d_folded(a, k1[:, :, :, :Ca], T)
-                 + convops.conv3d_folded(b, k1[:, :, :, Ca:], T))
+            y = convops.conv3d_folded(a, k1[:, :, :, :Ca], T)
+            if _LIFTFOLD:
+                y = y + convops.conv3d_folded_lift24(b, k1[:, :, :, Ca:])
+            else:
+                y = y + convops.conv3d_folded(b, k1[:, :, :, Ca:], T)
         else:
             Cin = x.shape[-1] // T
             k1, b1 = ConvParams((3, 3, 3, Cin, self.features), name="conv1")()
@@ -437,9 +447,13 @@ class SMOWNet(nn.Module):
         f3 = BasicConv3d(128, name="Conv3d3")(f3, train)
         f4 = BasicConv3d(256, name="Conv3d4")(f4, train)
 
-        x0, f1, f2, f3, f4 = map(_lift24_folded, (x0, f1, f2, f3, f4))
-
-        y = max_pool(f4, (2, 2), (2, 2))
+        if _LIFTFOLD:
+            # skips stay T=2-folded — ConvBlock23d contracts them with the
+            # lift-composed kernel; only the decoder seed needs the lift
+            y = max_pool(_lift24_folded(f4), (2, 2), (2, 2))
+        else:
+            x0, f1, f2, f3, f4 = map(_lift24_folded, (x0, f1, f2, f3, f4))
+            y = max_pool(f4, (2, 2), (2, 2))
         y = ConvTransBlock3d(256, name="C3DT1")(y, train)
         y = ConvBlock23d(128, name="C3D1")((y, f4), train)
         y = ConvTransBlock3d(128, name="C3DT2")(y, train)

@@ -20,7 +20,7 @@ from jax import lax
 
 __all__ = ["conv", "conv_transpose", "to_tuple", "causal_conv1d",
            "set_conv3d_impl", "tdense_kernel", "tsplit_kernels",
-           "conv3d_folded"]
+           "conv3d_folded", "tdense_lift24_kernel", "conv3d_folded_lift24"]
 
 # 3-D convs with a short temporal kernel admit two exact rewrites:
 #   "decomposed" — kt batched 2-D convs over (B*T) frames + temporal shifts
@@ -55,6 +55,41 @@ def tdense_kernel(kernel: jnp.ndarray, T: int) -> jnp.ndarray:
                 K2 = K2.at[:, :, ti * Cin:(ti + 1) * Cin,
                            to * Cout:(to + 1) * Cout].set(kernel[dt])
     return K2
+
+
+def tdense_lift24_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(kt, kh, kw, Cin, Cout) -> (kh, kw, 2*Cin, 4*Cout): the T=4 tdense
+    banded kernel with the fixed trilinear T=2->4 temporal lift
+    (align_corners frames [F0, (2F0+F1)/3, (F0+2F1)/3, F1], see
+    models/smow_net._lift24_folded) composed in, so the conv reads the
+    PRE-LIFT (B, H, W, 2*Cin) tensor directly: out[j] = sum_t band[j,t]
+    (sum_s L[t,s] u[s]) = sum_s (sum_t band[j,t] L[t,s]) u[s]. Same MAC
+    count as the banded T=4 form (the lift densifies the 8/16 band into
+    8 T-blocks of a (2 -> 4) map) but the lifted tensor never exists."""
+    kt, kh, kw, Cin, Cout = kernel.shape
+    half = kt // 2
+    c = 1.0 / 3.0
+    L = ((1.0, 0.0), (1 - c, c), (c, 1 - c), (0.0, 1.0))  # (T4, S2)
+    K2 = jnp.zeros((kh, kw, 2 * Cin, 4 * Cout), kernel.dtype)
+    for to in range(4):
+        for dt in range(kt):
+            ti = to + dt - half
+            if not 0 <= ti < 4:
+                continue
+            for s in range(2):
+                w = L[ti][s]
+                if w:
+                    K2 = K2.at[:, :, s * Cin:(s + 1) * Cin,
+                               to * Cout:(to + 1) * Cout].add(
+                                   w * kernel[dt])
+    return K2
+
+
+def conv3d_folded_lift24(x2: jnp.ndarray, kernel: jnp.ndarray,
+                         stride=(1, 1), pad=(1, 1)) -> jnp.ndarray:
+    """conv3d_folded(lift24(x2), kernel, T=4) without materializing the
+    lift: x2 is the T=2-folded (B, H, W, 2*Cin) tensor."""
+    return conv(x2, tdense_lift24_kernel(kernel), stride, pad)
 
 
 def tsplit_kernels(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

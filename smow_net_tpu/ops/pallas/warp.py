@@ -761,6 +761,18 @@ def _tok_fwd(a, grid, interpret):
     return _tok_forward(a, grid, m, interpret), (a, grid, m)
 
 
+# tile-budget factor for the fused token backward, in (W*C, tile) fp32
+# temporaries: 6 (=3x the forward's pair) budgets conservatively and lands
+# tile 512 at the OFW shapes; 3 lands 1024 — the tile the two unfused bwd
+# kernels ran at. A/B'd on-chip (tools/probe_token_ab.py).
+_TOK_BWD_WC_HALVES = 3
+
+
+def set_token_bwd_tile_factor(halves: int):
+    global _TOK_BWD_WC_HALVES
+    _TOK_BWD_WC_HALVES = halves
+
+
 def _tok_bwd(interpret, res, cots):
     a, grid, m = res
     ew_bar, dz = cots
@@ -774,7 +786,7 @@ def _tok_bwd(interpret, res, cots):
                           dz.astype(jnp.float32)], axis=1)
     mzb = jnp.broadcast_to(mz[:, :, None], (B, 2 * C, 128))
 
-    tp = _pick_tile(P, W * C * 3, floor=_TILE_P_BWD)
+    tp = _pick_tile(P, W * C * _TOK_BWD_WC_HALVES // 2, floor=_TILE_P_BWD)
     kernel = functools.partial(_tok_bwd_kernel, H=H, W=W, C=C)
     dat, dw = pl.pallas_call(
         kernel,

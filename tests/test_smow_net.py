@@ -213,13 +213,34 @@ def test_convblock_catsplit_equivalence():
     f = jnp.asarray(rng.normal(size=(2, 16, 16, 4 * 8)), jnp.float32)
     blk = sn.ConvBlock23d(16)
     variables = blk.init(jax.random.PRNGKey(0), (y, f), False)
-    old = sn._CATSPLIT
     try:
         sn.set_convblock_catsplit(False)
         ref = blk.apply(variables, (y, f), False)
         sn.set_convblock_catsplit(True)
         out = blk.apply(variables, (y, f), False)
     finally:
-        sn.set_convblock_catsplit(old)
+        sn.set_convblock_catsplit(False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_convblock_liftfold_equivalence():
+    """Skip contraction with the T=2->4 lift composed into the kernel must
+    equal lifting the skip then contracting (same params)."""
+    from smow_net_tpu.models import smow_net as sn
+
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.normal(size=(2, 16, 16, 4 * 8)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(2, 16, 16, 2 * 8)), jnp.float32)
+    f4 = sn._lift24_folded(f2)
+    blk = sn.ConvBlock23d(16)
+    variables = blk.init(jax.random.PRNGKey(0), (y, f4), False)
+    try:
+        sn.set_convblock_catsplit(True)
+        ref = blk.apply(variables, (y, f4), False)
+        sn.set_convblock_catsplit(True, liftfold=True)
+        out = blk.apply(variables, (y, f2), False)
+    finally:
+        sn.set_convblock_catsplit(False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)

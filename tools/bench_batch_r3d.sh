@@ -56,3 +56,7 @@ echo "=== prefix probe (infer glue localization) $(date +%H:%M:%S)"
 PB_ITERS=20 python tools/probe_prefix.py > artifacts/bench_r03/prefix_infer.txt 2>&1
 tail -12 artifacts/bench_r03/prefix_infer.txt
 echo "R3D EXTENDED2 DONE $(date +%H:%M:%S)"
+echo "=== token chain A/B $(date +%H:%M:%S)"
+PB_ITERS=20 python tools/probe_token_ab.py > artifacts/bench_r03/token_ab.txt 2>&1
+tail -10 artifacts/bench_r03/token_ab.txt
+echo "R3D EXTENDED3 DONE $(date +%H:%M:%S)"

@@ -1,9 +1,14 @@
-"""Same-process A/B of the decoder skip-concat lowering: the whole 5-stage
-folded 3D U-Net decoder (train fwd+bwd AND inference, bs16 256^2 model
-shapes) with ConvBlock23d.conv1 either reading the materialized per-frame
-channel concat (catsplit=off) or contracting the decoder stream and skip
-tensor as two separate convs summed (catsplit=on — the concat, up to 134 MB
-at the 128^2 stage, never hits HBM; see models/smow_net._CATSPLIT).
+"""Same-process A/B of the decoder skip lowerings: the whole 5-stage folded
+3D U-Net decoder (train fwd+bwd AND inference, bs16 256^2 model shapes) with
+ConvBlock23d.conv1 either
+  off      — materialized per-frame channel concat of lifted skips,
+  split    — stream and lifted skip contracted as two convs summed
+             (the concat, up to 134 MB at 128^2, never hits HBM),
+  liftfold — split + the T=2->4 temporal lift composed into the skip
+             kernel (the lifted skip never hits HBM either).
+Inputs are PRE-lift (T=2-folded) skips and the lift runs inside the timed
+graph for the first two variants — matching the real model's composition.
+See models/smow_net._CATSPLIT/_LIFTFOLD.
 
 Usage: PB_ITERS=10 python tools/probe_dec_catsplit.py
 """
@@ -18,7 +23,8 @@ import jax.numpy as jnp
 
 from tools.profile_breakdown_train import timeit
 from smow_net_tpu.models import smow_net as sm
-from smow_net_tpu.models.smow_net import ConvBlock23d, ConvTransBlock3d
+from smow_net_tpu.models.smow_net import (ConvBlock23d, ConvTransBlock3d,
+                                          _lift24_folded)
 from smow_net_tpu.ops.pooling import max_pool
 
 BS = 16
@@ -32,7 +38,11 @@ class Decoder(nn.Module):
     def __call__(self, f1, f2, f3, f4, x0, train=True):
         if self.force_eval:
             train = False
-        y = max_pool(f4, (2, 2), (2, 2))
+        if sm._LIFTFOLD:
+            y = max_pool(_lift24_folded(f4), (2, 2), (2, 2))
+        else:
+            x0, f1, f2, f3, f4 = map(_lift24_folded, (x0, f1, f2, f3, f4))
+            y = max_pool(f4, (2, 2), (2, 2))
         y = ConvTransBlock3d(256, name="C3DT1")(y, train)
         y = ConvBlock23d(128, name="C3D1")((y, f4), train)
         y = ConvTransBlock3d(128, name="C3DT2")(y, train)
@@ -46,28 +56,30 @@ class Decoder(nn.Module):
         return y
 
 
+MODES = {"off": (False, False), "split": (True, False),
+         "liftfold": (True, True)}
+
+
 def main():
     bf = jnp.bfloat16
     r, k = jax.random.normal, jax.random.PRNGKey
     s = H // 2
-    f1 = r(k(4), (BS, s // 2, s // 2, 4 * 32), bf)
-    f2 = r(k(5), (BS, s // 4, s // 4, 4 * 64), bf)
-    f3 = r(k(6), (BS, s // 8, s // 8, 4 * 128), bf)
-    f4 = r(k(7), (BS, s // 16, s // 16, 4 * 256), bf)
-    x0l = r(k(8), (BS, s, s, 4 * 32), bf)
-    old = sm._CATSPLIT
+    f1 = r(k(4), (BS, s // 2, s // 2, 2 * 32), bf)
+    f2 = r(k(5), (BS, s // 4, s // 4, 2 * 64), bf)
+    f3 = r(k(6), (BS, s // 8, s // 8, 2 * 128), bf)
+    f4 = r(k(7), (BS, s // 16, s // 16, 2 * 256), bf)
+    x0l = r(k(8), (BS, s, s, 2 * 32), bf)
     try:
-        for split in (False, True, False, True):
-            sm.set_convblock_catsplit(split)
-            timeit(f"decoder train [catsplit={'on' if split else 'off'}]",
-                   Decoder(), f1, f2, f3, f4, x0l)
-        for split in (False, True):
-            sm.set_convblock_catsplit(split)
-            timeit(f"decoder infer [catsplit={'on' if split else 'off'}]",
+        for mode in ("off", "split", "liftfold", "off", "liftfold"):
+            sm.set_convblock_catsplit(*MODES[mode])
+            timeit(f"decoder train [{mode}]", Decoder(), f1, f2, f3, f4, x0l)
+        for mode in ("off", "split", "liftfold"):
+            sm.set_convblock_catsplit(*MODES[mode])
+            timeit(f"decoder infer [{mode}]",
                    Decoder(force_eval=True), f1, f2, f3, f4, x0l,
                    train_kw=False)
     finally:
-        sm.set_convblock_catsplit(old)
+        sm.set_convblock_catsplit(False)
 
 
 if __name__ == "__main__":
