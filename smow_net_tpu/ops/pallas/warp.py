@@ -713,7 +713,11 @@ def _tok_forward(a, grid, m, interpret=False):
     at = a.reshape(B, H, W * C).transpose(0, 2, 1)
     mb = jnp.broadcast_to(m.astype(jnp.float32)[:, :, None], (B, C, 128))
 
-    tp = _pick_tile(P, W * C * 2, floor=_TILE_P)
+    # budget the tile like the unfused forward kernel (W*C): the fused body
+    # keeps ~4 (W*C, tile) fp32 temporaries but they fit the 48 MB limit at
+    # tile 1024, and halving the tile doubled per-tile fixed cost (the first
+    # chip run at tile 512 measured ~0.5 ms slower across the OFW stage)
+    tp = _pick_tile(P, W * C, floor=_TILE_P)
     kernel = functools.partial(_tok_kernel, H=H, W=W, C=C)
     ewt, z = pl.pallas_call(
         kernel,

@@ -60,3 +60,10 @@ echo "=== token chain A/B $(date +%H:%M:%S)"
 PB_ITERS=20 python tools/probe_token_ab.py > artifacts/bench_r03/token_ab.txt 2>&1
 tail -10 artifacts/bench_r03/token_ab.txt
 echo "R3D EXTENDED3 DONE $(date +%H:%M:%S)"
+echo "=== cd_mamba scan-step sweep $(date +%H:%M:%S)"
+for st in 32 8; do
+  echo "--- SCAN_FUSED_STEP=$st infer"
+  SCAN_FUSED_STEP=$st BENCH_MODEL=cd_mamba BENCH_MODE=infer BENCH_BATCH=4 BENCH_ITERS=10 \
+    BENCH_DTYPE=bf16 python bench.py 2>/dev/null
+done
+echo "R3D EXTENDED4 DONE $(date +%H:%M:%S)"
