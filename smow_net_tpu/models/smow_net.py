@@ -406,7 +406,11 @@ class ConvBlock23d(nn.Module):
             Cb = b.shape[-1] // (2 if _LIFTFOLD else T)
             Cin = Ca + Cb
             k1, b1 = ConvParams((3, 3, 3, Cin, self.features), name="conv1")()
-            k1 = k1.astype(a.dtype)
+            # stream and skip can trace at different dtypes under init
+            # (f32 params upstream vs bf16 inputs): contract both at the
+            # promoted dtype so each conv sees matching operand dtypes
+            dt = jnp.promote_types(a.dtype, b.dtype)
+            a, b, k1 = a.astype(dt), b.astype(dt), k1.astype(dt)
             y = convops.conv3d_folded(a, k1[:, :, :, :Ca], T)
             if _LIFTFOLD:
                 y = y + convops.conv3d_folded_lift24(b, k1[:, :, :, Ca:])

@@ -58,7 +58,7 @@ def main():
                                ("fused/3", Fused(), 3)):
         if halves is not None:
             PW.set_token_bwd_tile_factor(halves)
-        timeit(f"token chain train [{label}]", mod, a, flow)
+        timeit(f"token chain train [{label}]", mod, a, flow, train_kw=False)
     for label, mod, halves in (("unfused", Unfused(), None),
                                ("fused/3", Fused(), 3)):
         if halves is not None:
