@@ -172,8 +172,10 @@ def main():
     # file names, other models read baselines/BENCH_BASELINE_{model}[_train]
     # (seeded from each model's first recorded measurement)
     tag = "_train" if MODE == "train" else ""
-    baseline_file = (f"BENCH_BASELINE{tag}.json" if MODEL == "smow_net"
-                     else f"baselines/BENCH_BASELINE_{MODEL}{tag}.json")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    baseline_file = os.path.join(
+        repo, f"BENCH_BASELINE{tag}.json" if MODEL == "smow_net"
+        else f"baselines/BENCH_BASELINE_{MODEL}{tag}.json")
     baseline = None
     if os.path.exists(baseline_file):
         try:

@@ -93,6 +93,20 @@ class BasicConv3d(nn.Module):
         return nn.relu(z).reshape(B, H, W, T * self.features)
 
 
+# OFW.flow lowering: the three depthwise stride-2 Conv3d + the 3x3x3 flow
+# conv run on the T-FOLDED (B, H, W, T*C) layout as dense block-banded 2-D
+# convs (the depthwise kernel densified to a diagonal block — same trick as
+# the encoder's blockdiag@mix lowering), the trilinear lift degenerating to
+# a per-frame bilinear resize (T: 2->2 is identity under align_corners).
+# A/B-gated pending the on-chip probe (tools/probe_flow_ab.py).
+_FLOW_FOLDED = False
+
+
+def set_flow_folded(v: bool):
+    global _FLOW_FOLDED
+    _FLOW_FOLDED = v
+
+
 class OFW(nn.Module):
     """Optical-flow warp (reference models/SMOW_Net.py:587-637).
 
@@ -106,24 +120,57 @@ class OFW(nn.Module):
     inplane: int
 
     def setup(self):
+        # ConvParams share the exact `<name>/{kernel,bias}` tree with the
+        # reference-shaped Conv modules, so both flow lowerings and the
+        # torch converter see identical parameters
         self.downs = [
-            Conv(self.inplane, 3, (1, 2, 2), 1, groups=self.inplane,
-                 name=f"down{i}_conv")
+            ConvParams((3, 3, 3, 1, self.inplane), name=f"down{i}_conv")
             for i in range(3)
         ]
         self.down_bns = [batch_norm(f"down{i}_bn") for i in range(3)]
-        self.flow_make = Conv(2, 3, 1, 1, use_bias=False, name="flow_make")
+        self.flow_make_p = ConvParams((3, 3, 3, 2 * self.inplane, 2),
+                                      use_bias=False, name="flow_make")
 
-    def flow(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        """(B, 2, H, W, C) -> per-frame flow field (B, 2, H, W, 2)."""
+    def _flow_5d(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         T, H, W = x.shape[1], x.shape[2], x.shape[3]
         y = x
-        for conv, bn in zip(self.downs, self.down_bns):
-            y = nn.relu(bn(conv(y), use_running_average=not train))
+        for cp, bn in zip(self.downs, self.down_bns):
+            k, b = cp()
+            y = convops.conv(y, k.astype(y.dtype), (1, 2, 2), 1, 1,
+                             groups=self.inplane) + b.astype(y.dtype)
+            y = nn.relu(bn(y, use_running_average=not train))
         # reference hard-codes size=(2,128,128) (models/SMOW_Net.py:607); we
         # use the actual input size — identical for the 256x256 recipe.
         y = resize_linear(y, (T, H, W), (1, 2, 3), align_corners=True)
-        return self.flow_make(jnp.concatenate([x, y], axis=-1))
+        kf, _ = self.flow_make_p()
+        return convops.conv(jnp.concatenate([x, y], axis=-1),
+                            kf.astype(y.dtype), 1, 1)
+
+    def _flow_folded(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        B, T, H, W, C = x.shape
+        eye = jnp.eye(C)
+        xf = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * C)
+        y = xf
+        for cp, bn in zip(self.downs, self.down_bns):
+            k, b = cp()
+            kd = eye[None, None, None].astype(k.dtype) * k[:, :, :, 0][:, :, :, None]
+            Kf = convops.tdense_kernel(kd, T)
+            y = convops.conv(y, Kf.astype(y.dtype), (2, 2), (1, 1))
+            y = y + jnp.tile(b, T).astype(y.dtype)
+            y = _bn_folded(bn, y, train, T)
+            y = nn.relu(y)
+        y = resize_linear(y, (H, W), (1, 2), align_corners=True)
+        kf, _ = self.flow_make_p()
+        out = convops.conv(_cat_folded(xf, y, T),
+                           convops.tdense_kernel(kf, T).astype(y.dtype),
+                           (1, 1), (1, 1))
+        return out.reshape(B, H, W, T, 2).transpose(0, 3, 1, 2, 4)
+
+    def flow(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """(B, 2, H, W, C) -> per-frame flow field (B, 2, H, W, 2)."""
+        if _FLOW_FOLDED:
+            return self._flow_folded(x, train)
+        return self._flow_5d(x, train)
 
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         B, T, H, W, C = x.shape
@@ -207,20 +254,36 @@ def ofw_tokens_fused(ofw: OFW, tenc: TokenTransformerEncoder, x: jnp.ndarray,
     # position tensors and the divide runs on the (B, L, C) tokens — one
     # fewer elementwise pass (fwd and bwd) over each (B, n, L) map, and the
     # stacked (B, 4, n, L) softmax tensor never materializes.
-    # Frames 1,2: the whole warp -> exp -> scatter chain runs as one fused
-    # op (ops/warp.token_softmax_scatter — single Pallas kernel fwd and bwd
-    # on TPU; the shared max_n a shift is exact, see its docstring).
-    ew, zaw = token_softmax_scatter(a, fb)
-    ew = ew.reshape(B, 2, n, L)
-    zaw = zaw.reshape(B, 2, L)
+    # Frames 1,2: warp -> exp -> scatter. Backend chosen by measurement
+    # (tools/probe_token_ab.py on-chip, artifacts/bench_r03/token_ab.txt):
+    #   infer: fused single Pallas kernel 2.93 ms vs unfused 3.57 -> FUSED
+    #   train: unfused 2-kernel chain 7.90 ms vs fused 9.27 -> UNFUSED
+    # (the fused bwd rebuilds every one-hot mask for three temporaries; the
+    # unfused chain's two bwd kernels pipeline better at W*C=1024).
     stopmax = lambda v: v - jax.lax.stop_gradient(
         jnp.max(v.reshape(B * 2, n, L), axis=1)).reshape(B * 2, 1, 1, L)
+    if train:
+        from ..ops.warp import flow_warp, flow_warp_transpose
+
+        aw = flow_warp(a, fb)
+        eaw = jnp.exp(stopmax(aw))
+        zaw = jnp.sum(eaw.reshape(B * 2, n, L), axis=1)
+        ew = flow_warp_transpose(eaw, fb)
+    else:
+        ew, zaw = token_softmax_scatter(a, fb)
+    ew = ew.reshape(B, 2, n, L)
+    zaw = zaw.reshape(B, 2, L)
     ea = jnp.exp(stopmax(a))
     za = jnp.sum(ea.reshape(B, 2, n, L), axis=2)   # (B, 2, L)
     ea = ea.reshape(B, 2, n, L)
     f0 = x[:, 0].reshape(B, n, C)
     f1 = x[:, 1].reshape(B, n, C)
-    pool = lambda e, f, z: jnp.einsum("bnl,bnc->blc", e, f) / z[..., None]
+    # tiny clamp: with the shared-max shift, z can underflow to 0 when a
+    # map's warped-logit spread exceeds ~87 (ops/warp.token_softmax_scatter
+    # contract); the legacy per-warped-max shift guaranteed z >= 1
+    tiny = jnp.asarray(1e-30, jnp.float32).astype(x.dtype)
+    pool = lambda e, f, z: (jnp.einsum("bnl,bnc->blc", e, f)
+                            / jnp.maximum(z, tiny)[..., None])
     tok = jnp.stack([
         pool(ea[:, 0], f0, za[:, 0]), pool(ew[:, 0], f0, zaw[:, 0]),
         pool(ew[:, 1], f1, zaw[:, 1]), pool(ea[:, 1], f1, za[:, 1]),

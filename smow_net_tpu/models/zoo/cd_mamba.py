@@ -28,7 +28,7 @@ from ...ops.resize import resize_nearest
 from ...ops.scan import selective_scan_auto
 from ...utils import torch_init
 
-__all__ = ["CDMamba"]
+__all__ = ["CDMamba", "mamba_cache_init", "mamba_core_step"]
 
 
 def _dt_bias_init(dt_min=0.001, dt_max=0.1, floor=1e-4):
@@ -89,6 +89,50 @@ class Mamba1DCore(nn.Module):
         A = -jnp.exp(p["A_log"].astype(jnp.float32))
         return selective_scan_auto(x, delta, A, Bm[:, :, None], Cm[:, :, None],
                                    p["D"], p["dt_bias"], delta_softplus=True)
+
+
+def mamba_cache_init(batch: int, d_inner: int, d_state: int = 16,
+                     d_conv: int = 4, dtype=jnp.float32):
+    """Decode-time state cache for one scan direction (reference
+    Mamba.allocate_inference_cache, compare/cd_mamba.py:733-745):
+    conv_state (B, d_conv, Di) rolling window of post-in_proj inputs,
+    ssm_state (B, Di, N) fp32 recurrence carry."""
+    return (jnp.zeros((batch, d_conv, d_inner), dtype),
+            jnp.zeros((batch, d_inner, d_state), jnp.float32))
+
+
+def mamba_core_step(p: dict, x_t: jnp.ndarray, conv_state: jnp.ndarray,
+                    ssm_state: jnp.ndarray):
+    """One-token streaming step of `Mamba1DCore` (reference Mamba.step,
+    compare/cd_mamba.py:686-730, the decode-time state-cache path):
+
+        roll conv_state; depthwise causal-conv tap; SiLU
+        -> (dt, B, C) projections -> one selective-scan step (scan-carry).
+
+    `p` is the `Mamba1DParams` dict; `x_t` is (B, Di) — one timestep of the
+    post-in_proj sequence. Returns (y_t, conv_state', ssm_state'). Feeding a
+    length-L sequence through this token-by-token reproduces
+    `Mamba1DCore.__call__`'s output exactly (tests/test_scan_routing.py).
+    TPU note: per-token decode is latency-bound glue; whole sequences go
+    through the scan kernels — this exists for parity with the reference's
+    streaming-decode capability (a lax.scan over it is the jittable form)."""
+    from ...ops.scan import selective_scan_step
+
+    kconv = p["kconv"][:, 0, :]                        # (d_conv, Di)
+    conv_state = jnp.concatenate([conv_state[:, 1:], x_t[:, None]], axis=1)
+    x = jnp.einsum("bkd,kd->bd", conv_state.astype(jnp.float32),
+                   kconv.astype(jnp.float32)).astype(x_t.dtype) + p["bconv"]
+    x = nn.silu(x)
+    R = p["dtw"].shape[0]
+    N = p["A_log"].shape[-1]
+    dbl = jnp.matmul(x, p["xw"])
+    dt, Bm, Cm = jnp.split(dbl, [R, R + N], axis=-1)
+    delta = jnp.matmul(dt, p["dtw"])
+    A = -jnp.exp(p["A_log"].astype(jnp.float32))
+    y, ssm_state = selective_scan_step(
+        ssm_state, x, delta, A, Bm[:, None], Cm[:, None],
+        p["D"], p["dt_bias"], delta_softplus=True)
+    return y, conv_state, ssm_state
 
 
 class Mamba1DParams(nn.Module):

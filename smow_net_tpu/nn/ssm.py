@@ -21,7 +21,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.cross_scan import cross_merge, cross_merge8, cross_scan, cross_scan8
+from ..ops.cross_scan import (cross_merge, cross_merge8, cross_merge_1d,
+                              cross_merge_2d, cross_scan, cross_scan8,
+                              cross_scan_1d, cross_scan_2d)
 from ..ops.scan import cross_selective_scan
 from ..utils import torch_init
 from .layers import Conv, Dense, gelu
@@ -60,7 +62,16 @@ class DropPath(nn.Module):
 
 
 class SS2D(nn.Module):
-    """4-/8-direction 2D selective scan block (reference SS2D forwardv2)."""
+    """4-/8-direction 2D selective scan block (reference SS2D forwardv2).
+
+    Reference forward-type coverage (compare/vmamba.py:748-762): v01/v1/v2/
+    v3/v4 differ only in WHICH CUDA/Triton backend runs the same math
+    (SelectiveScanMamba/Core/Oflex, einsum-vs-conv1d projection, Triton
+    cross-scan) and whether fp32 is forced — all collapse onto this module's
+    single TPU scan primitive, which always carries the recurrence in fp32
+    (ops/pallas/scan_fused.py). The genuine *math* ablations v31d/v32d
+    (1-/2-direction CrossScan, compare/vmamba.py:73-137) are selected here
+    with `scan_variant="1d"|"2d"` (k_group=4 only)."""
 
     d_model: int
     d_state: int = 16
@@ -71,6 +82,7 @@ class SS2D(nn.Module):
     bias: bool = False
     k_group: int = 4
     dropout: float = 0.0
+    scan_variant: str = "cross"  # cross | 1d | 2d (v2 / v31d / v32d)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -90,8 +102,15 @@ class SS2D(nn.Module):
         xx = nn.silu(xx)
 
         # ---- cross selective scan ----
-        scan = cross_scan8 if K == 8 else cross_scan
-        merge = cross_merge8 if K == 8 else cross_merge
+        if K == 8:
+            scan, merge = cross_scan8, cross_merge8
+        else:
+            assert self.scan_variant in ("cross", "1d", "2d"), self.scan_variant
+            scan, merge = {
+                "cross": (cross_scan, cross_merge),
+                "1d": (cross_scan_1d, cross_merge_1d),
+                "2d": (cross_scan_2d, cross_merge_2d),
+            }[self.scan_variant]
         xs = scan(xx)                                       # (B, K, L, Di)
 
         x_proj_w = self.param(
@@ -157,6 +176,7 @@ class VSSBlock(nn.Module):
     mlp_ratio: float = 4.0
     mlp_drop_rate: float = 0.0
     k_group: int = 4
+    scan_variant: str = "cross"  # SS2D ablation select (v2/v31d/v32d)
     remat: bool = False  # reference use_checkpoint (vmamba.py:1388-1392):
     #                      rematerialize the SS2D in backward (trades FLOPs
     #                      for the large (B,L,D,N) scan temporaries)
@@ -170,7 +190,7 @@ class VSSBlock(nn.Module):
             y = ss2d(
                 self.hidden_dim, self.ssm_d_state, self.ssm_ratio, self.ssm_dt_rank,
                 self.ssm_conv, self.ssm_conv_bias, dropout=self.ssm_drop_rate,
-                k_group=self.k_group, name="op",
+                k_group=self.k_group, scan_variant=self.scan_variant, name="op",
             )(y, train)
             x = x + dp(y, train)
         if self.mlp_ratio > 0:

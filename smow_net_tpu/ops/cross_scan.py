@@ -22,7 +22,9 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["cross_scan", "cross_merge", "cross_scan8", "cross_merge8"]
+__all__ = ["cross_scan", "cross_merge", "cross_scan8", "cross_merge8",
+           "cross_scan_1d", "cross_merge_1d", "cross_scan_2d",
+           "cross_merge_2d"]
 
 
 def cross_scan(x: jnp.ndarray) -> jnp.ndarray:
@@ -43,6 +45,40 @@ def cross_merge(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     y2 = jnp.flip(ys[:, 2], axis=1)
     y3 = jnp.flip(ys[:, 3], axis=1).reshape(B, W, H, C).transpose(0, 2, 1, 3).reshape(B, L, C)
     return y0 + y1 + y2 + y3
+
+
+def cross_scan_1d(x: jnp.ndarray) -> jnp.ndarray:
+    """SS2D 1-direction ablation (reference CrossScan_Ab_1direction,
+    compare/vmamba.py:112-123): the row-major traversal repeated K=4 times —
+    the scan runs 4 identical directions so parameter shapes match v2."""
+    B, H, W, C = x.shape
+    x0 = x.reshape(B, 1, H * W, C)
+    return jnp.broadcast_to(x0, (B, 4, H * W, C))
+
+
+def cross_merge_1d(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(B, 4, H*W, C) -> (B, H*W, C) (CrossMerge_Ab_1direction,
+    compare/vmamba.py:126-137): plain sum over K."""
+    return jnp.sum(ys, axis=1)
+
+
+def cross_scan_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """SS2D 2-direction ablation (reference CrossScan_Ab_2direction,
+    compare/vmamba.py:73-89): [x, x, flip(x), flip(x)] — forward and
+    reversed row-major only, each doubled, no transposed traversals."""
+    B, H, W, C = x.shape
+    x0 = x.reshape(B, H * W, C)
+    x2 = jnp.flip(x0, axis=1)
+    return jnp.stack([x0, x0, x2, x2], axis=1)
+
+
+def cross_merge_2d(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(B, 4, H*W, C) -> (B, H*W, C) (CrossMerge_Ab_2direction,
+    compare/vmamba.py:92-109): sum of the two forward scans plus the two
+    un-flipped reverse scans."""
+    fwd = ys[:, 0] + ys[:, 1]
+    rev = jnp.flip(ys[:, 2] + ys[:, 3], axis=1)
+    return fwd + rev
 
 
 @functools.lru_cache(maxsize=None)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["selective_scan", "set_scan_impl", "selective_scan_auto",
-           "cross_selective_scan", "route_scan_impl"]
+           "cross_selective_scan", "route_scan_impl", "selective_scan_step"]
 
 _IMPL = "auto"
 
@@ -139,6 +139,46 @@ def selective_scan(
     if D is not None:
         y = y + uf * D.astype(jnp.float32)
     return y.astype(u.dtype)
+
+
+def selective_scan_step(
+    h: jnp.ndarray,            # (B, D, N) carried fp32 SSM state
+    u: jnp.ndarray,            # (B, D) one timestep of input
+    delta: jnp.ndarray,        # (B, D)
+    A: jnp.ndarray,            # (D, N)
+    Bvec: jnp.ndarray,         # (B, G, N)
+    Cvec: jnp.ndarray,         # (B, G, N)
+    D: Optional[jnp.ndarray] = None,
+    delta_bias: Optional[jnp.ndarray] = None,
+    delta_softplus: bool = False,
+):
+    """ONE step of the selective-scan recurrence with an explicit state
+    carry: returns (y, h') with h' = exp(dt*A)*h + dt*B*u and
+    y = sum_n C[n]*h'[n] + D*u. The decode-time counterpart of
+    `selective_scan` (reference `selective_state_update` /
+    Mamba.step, compare/cd_mamba.py:686-730): feeding a length-L sequence
+    token-by-token through this reproduces the full scan's outputs exactly
+    (fp32 recurrence either way). TPU note: the state is (B, D, N) — a
+    lax.scan over L of this step is the latency-bound streaming form; use
+    `selective_scan` for whole sequences."""
+    Bb, Dch = u.shape
+    G, N = Bvec.shape[1], Bvec.shape[2]
+    Cg = Dch // G
+    uf = u.astype(jnp.float32)
+    dt = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        dt = dt + delta_bias.astype(jnp.float32)
+    if delta_softplus:
+        dt = jax.nn.softplus(dt)
+    dA = jnp.exp(dt[..., None] * A.astype(jnp.float32))         # (B, D, N)
+    Bf = Bvec.astype(jnp.float32)
+    dBu = (dt * uf).reshape(Bb, G, Cg)[..., None] * Bf[:, :, None, :]
+    h = h.astype(jnp.float32) * dA + dBu.reshape(Bb, Dch, N)
+    y = jnp.einsum("bgcn,bgn->bgc", h.reshape(Bb, G, Cg, N),
+                   Cvec.astype(jnp.float32)).reshape(Bb, Dch)
+    if D is not None:
+        y = y + uf * D.astype(jnp.float32)
+    return y.astype(u.dtype), h
 
 
 def cross_selective_scan(xs, dts, A, Bs, Cs, Ds=None, dt_bias=None,

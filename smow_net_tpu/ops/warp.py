@@ -221,7 +221,16 @@ def token_softmax_scatter(a: jnp.ndarray, flow: jnp.ndarray):
         ew  = flow_warp_transpose(eaw, flow)
         zaw = sum_n eaw
 
-    Returns (ew, zaw). Using max_n a as the softmax shift is exact: border
+    Returns (ew, zaw). CONTRACT: ew is NOT a normalized warped softmax —
+    both ew and zaw carry a shared per-(frame, l) scale exp(max_n aw - m)
+    relative to the legacy unfused chain (which shifted by max_n aw); results
+    are exact only after the caller divides ew by zaw (softmax normalization
+    is shift-invariant). Consumers must always pair them (see
+    models/smow_net.py ofw_tokens_fused). Also unlike the legacy shift, zaw
+    >= 1 is NOT guaranteed: if a map's warped-logit spread exceeds ~87 (f32)
+    every exp underflows and zaw -> 0; divide as ew / max(zaw, tiny).
+
+    Using max_n a as the softmax shift is exact: border
     bilinear weights are convex so aw <= max_n a, and downstream softmax
     normalization is shift-invariant. On TPU (supported shapes) this runs as
     ONE Pallas kernel forward and one backward (pallas/warp.token_scatter_

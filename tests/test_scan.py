@@ -145,3 +145,76 @@ def test_vssblock_remat_equivalence():
     np.testing.assert_allclose(float(y1), float(y2), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_cross_scan_ablations_match_reference_torch():
+    """Pin the SS2D 1-/2-direction ablation layouts to the reference torch
+    autograd functions (compare/vmamba.py:73-137, forward_types v31d/v32d)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "tests")
+    from ref_stubs import (disable_cuda_calls, install_csm_triton_stub,
+                           install_fvcore_stub, install_timm_stub)
+
+    install_fvcore_stub()
+    install_csm_triton_stub()
+    install_timm_stub()
+    disable_cuda_calls()
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+
+        vm = importlib.import_module("compare.vmamba")
+    finally:
+        sys.path.remove("/root/reference")
+
+    from smow_net_tpu.ops.cross_scan import (cross_merge_1d, cross_merge_2d,
+                                             cross_scan_1d, cross_scan_2d)
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 3, 5, 4
+    x = rng.normal(size=(B, C, H, W)).astype(np.float32)
+    xcl = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    ys = rng.normal(size=(B, 4, C, H, W)).astype(np.float32)
+    yscl = jnp.asarray(np.transpose(ys.reshape(B, 4, C, H * W), (0, 1, 3, 2)))
+
+    for scan, merge, ref_s, ref_m in (
+        (cross_scan_1d, cross_merge_1d,
+         vm.CrossScan_Ab_1direction, vm.CrossMerge_Ab_1direction),
+        (cross_scan_2d, cross_merge_2d,
+         vm.CrossScan_Ab_2direction, vm.CrossMerge_Ab_2direction),
+    ):
+        ref_xs = ref_s.apply(torch.from_numpy(x)).numpy()       # (B,4,C,L)
+        ours = np.transpose(np.asarray(scan(xcl)), (0, 1, 3, 2))
+        np.testing.assert_array_equal(ours, ref_xs)
+        ref_merged = ref_m.apply(torch.from_numpy(ys)).numpy()  # (B,C,L)
+        ours_m = np.transpose(np.asarray(merge(yscl, H, W)), (0, 2, 1))
+        np.testing.assert_allclose(ours_m, ref_merged, rtol=1e-6, atol=1e-6)
+
+
+def test_ss2d_scan_variants():
+    """scan_variant='1d'/'2d' run with v2-identical parameter shapes and
+    produce results distinct from the default cross scan."""
+    import jax
+
+    from smow_net_tpu.nn.ssm import SS2D
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 16)), jnp.float32)
+    base = SS2D(16, d_state=4)
+    v = base.init(jax.random.PRNGKey(0), x)
+    shapes = jax.tree_util.tree_map(jnp.shape, v)
+    outs = {}
+    for variant in ("cross", "1d", "2d"):
+        mod = SS2D(16, d_state=4, scan_variant=variant)
+        assert jax.tree_util.tree_map(jnp.shape, mod.init(
+            jax.random.PRNGKey(0), x)) == shapes
+        y, g = jax.value_and_grad(
+            lambda p: jnp.sum(mod.apply(p, x) ** 2))(v)
+        assert np.isfinite(float(y))
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g))
+        outs[variant] = float(y)
+    assert outs["cross"] != outs["1d"] != outs["2d"]

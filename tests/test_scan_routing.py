@@ -87,3 +87,59 @@ def test_set_scan_impl_override_roundtrip():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=0)
     finally:
         set_scan_impl("auto")
+
+
+def test_selective_scan_step_matches_full_scan():
+    """Token-by-token decode (selective_scan_step carry) == full-sequence
+    selective_scan, the reference selective_state_update contract
+    (compare/cd_mamba.py:714-727)."""
+    import jax
+
+    from smow_net_tpu.ops.scan import selective_scan_step
+
+    u, dt, A, Bm, Cm, Dv, db = make_inputs(L=19, D=12, G=2, N=4)
+    ref = selective_scan(u, dt, A, Bm, Cm, Dv, db, delta_softplus=True)
+    B, L, D = u.shape
+    h0 = jnp.zeros((B, D, A.shape[-1]), jnp.float32)
+
+    def step(h, t):
+        y, h = selective_scan_step(h, u[:, t], dt[:, t], A, Bm[:, t], Cm[:, t],
+                                   Dv, db, delta_softplus=True)
+        return h, y
+
+    _, ys = jax.lax.scan(step, h0, jnp.arange(L))
+    out = jnp.swapaxes(ys, 0, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mamba_core_step_matches_core_module():
+    """Streaming one-token decode of the CD-Mamba core (conv cache + scan
+    carry) == the whole-sequence Mamba1DCore (reference Mamba.step,
+    compare/cd_mamba.py:686-730)."""
+    import jax
+
+    from smow_net_tpu.models.zoo.cd_mamba import (Mamba1DCore, Mamba1DParams,
+                                                  mamba_cache_init,
+                                                  mamba_core_step)
+
+    B, L, Di, N, R, K = 2, 11, 8, 4, 2, 4
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B, L, Di)), jnp.float32)
+    core = Mamba1DCore(Di, N, R, K)
+    v = core.init(jax.random.PRNGKey(0), x)
+    ref = core.apply(v, x)
+
+    pmod = Mamba1DParams(Di, N, R, K)
+    p = pmod.apply(v)
+    conv_state, ssm_state = mamba_cache_init(B, Di, N, K)
+
+    def step(carry, t):
+        cs, hs = carry
+        y, cs, hs = mamba_core_step(p, x[:, t], cs, hs)
+        return (cs, hs), y
+
+    _, ys = jax.lax.scan(step, (conv_state, ssm_state), jnp.arange(L))
+    out = jnp.swapaxes(ys, 0, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

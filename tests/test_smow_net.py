@@ -244,3 +244,54 @@ def test_convblock_liftfold_equivalence():
         sn.set_convblock_catsplit(False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flow_folded_matches_5d():
+    """OFW.flow T-folded lowering (dense block-banded convs + per-frame
+    bilinear lift) is an exact rewrite of the 5-D depthwise path — outputs,
+    train-mode batch stats, and parameter grads agree to fp32 tolerance."""
+    import flax.linen as nn
+
+    from smow_net_tpu.models import smow_net as sm
+
+    class Flow(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return sm.OFW(12, name="ofw").flow(x, train)
+
+    r, k = jax.random.normal, jax.random.PRNGKey
+    x = r(k(0), (2, 2, 16, 16, 12), jnp.float32)
+    m = Flow()
+    try:
+        sm.set_flow_folded(False)
+        v = m.init(k(1), x)
+        v = jax.tree_util.tree_map(
+            lambda p: p + 0.05 * r(k(2), p.shape, p.dtype), v)
+        ref_e = m.apply(v, x, False)
+        ref_t, mut_ref = m.apply(v, x, True, mutable=["batch_stats"])
+
+        def loss(p):
+            return jnp.sum(m.apply({**v, "params": p}, x, True,
+                                   mutable=["batch_stats"])[0] ** 2)
+
+        g_ref = jax.grad(loss)(v["params"])
+
+        sm.set_flow_folded(True)
+        assert (jax.tree_util.tree_structure(m.init(k(1), x))
+                == jax.tree_util.tree_structure(v))
+        out_e = m.apply(v, x, False)
+        out_t, mut = m.apply(v, x, True, mutable=["batch_stats"])
+        g = jax.grad(loss)(v["params"])
+    finally:
+        sm.set_flow_folded(False)
+
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(ref_e),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mut), jax.tree_util.tree_leaves(mut_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

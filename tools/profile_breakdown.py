@@ -14,6 +14,7 @@ BS = int(os.environ.get("PB_BS", "16"))
 SIZE = int(os.environ.get("PB_SIZE", "256"))
 ITERS = int(os.environ.get("PB_ITERS", "20"))
 PEAK = 197e12
+PEAK_B = 819  # GB/s, v5e HBM
 
 
 def timeit(label, module, *args, train_kw=True):
@@ -43,15 +44,18 @@ def timeit(label, module, *args, train_kw=True):
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", float("nan")))
+        byts = float(cost.get("bytes accessed", float("nan")))
     except Exception:
-        flops = float("nan")
+        flops = byts = float("nan")
     float(c(*args))  # warm
     t0 = time.perf_counter()
     float(c(*args))
     dt = time.perf_counter() - t0
     ms = dt / ITERS * 1e3
     mfu = flops * ITERS / dt / PEAK
-    print(f"{label:34s} {ms:8.2f} ms  {flops/1e9:8.1f} GF  mfu {mfu*100:5.1f}%",
+    gb = byts * ITERS / dt / 1e9
+    print(f"{label:34s} {ms:8.2f} ms  {flops/1e9:8.1f} GF  mfu {mfu*100:5.1f}%"
+          f"  {byts/1e6:8.1f} MB {gb:6.0f} GB/s ({gb/PEAK_B*100:4.1f}%)",
           flush=True)
     return ms
 

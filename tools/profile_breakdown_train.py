@@ -55,15 +55,18 @@ def timeit(label, module, *args, train_kw=True):
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", float("nan")))
+        byts = float(cost.get("bytes accessed", float("nan")))
     except Exception:
-        flops = float("nan")
+        flops = byts = float("nan")
     float(c(*args))
     t0 = time.perf_counter()
     float(c(*args))
     dt = time.perf_counter() - t0
     ms = dt / ITERS * 1e3
     mfu = flops * ITERS / dt / PEAK
-    print(f"{label:34s} {ms:8.2f} ms  {flops/1e9:8.1f} GF  mfu {mfu*100:5.1f}%",
+    gb = byts * ITERS / dt / 1e9
+    print(f"{label:34s} {ms:8.2f} ms  {flops/1e9:8.1f} GF  mfu {mfu*100:5.1f}%"
+          f"  {byts/1e6:8.1f} MB {gb:6.0f} GB/s ({gb/819*100:4.1f}%)",
           flush=True)
 
 
