@@ -107,6 +107,17 @@ def set_flow_folded(v: bool):
     _FLOW_FOLDED = v
 
 
+# Eval-mode classifier fold: the head conv + sigmoid run as the fused
+# cross-attn layer kernel's epilogue (ops/pallas/xattn.
+# cross_layer_head1_sigmoid_pallas). A/B-gated pending the on-chip probe.
+_HEADFUSE = False
+
+
+def set_headfuse(v: bool):
+    global _HEADFUSE
+    _HEADFUSE = v
+
+
 class OFW(nn.Module):
     """Optical-flow warp (reference models/SMOW_Net.py:587-637).
 
@@ -303,7 +314,8 @@ class PixelTransformerDecoder(nn.Module):
     folded_input: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, m: jnp.ndarray,
+                 head=None) -> jnp.ndarray:
         perm = None
         if self.folded_input:
             B, H, W, TC = x.shape
@@ -326,8 +338,8 @@ class PixelTransformerDecoder(nn.Module):
             q = x.transpose(0, 2, 3, 4, 1).reshape(B, H * W, C * T)
         q = CrossTransformerLayer(
             self.in_chan, self.heads, dim_head=1, mlp_dim=self.in_chan * 2, name="layer0"
-        )(q, m, perm=perm)
-        return q.reshape(B, H, W, self.in_chan)
+        )(q, m, perm=perm, head=head)
+        return q.reshape(B, H, W, q.shape[-1])
 
 
 # ConvTransBlock3d folded lowering: fuse the cyclic temporal mix INTO the
@@ -532,9 +544,21 @@ class SMOWNet(nn.Module):
         y = ConvTransBlock3d(32, name="C3DT5")(y, train)
         y = ConvBlock23d(32, name="C3D5")((y, x0), train)
 
+        # classifier declared layout-free so both head paths share the
+        # `classifier_conv/kernel` param (shape == Conv(4, 1)'s)
+        kc, _ = ConvParams((1, 1, 128, 4), use_bias=False,
+                           name="classifier_conv")()
+        if not train and _HEADFUSE:
+            # eval: classifier matmul + sigmoid folded into the fused
+            # cross-attn layer kernel's epilogue (only the (B, N, 4) map is
+            # ever written); sigmoid-before-shuffle as below
+            y = PixelTransformerDecoder(128, folded_input=True,
+                                        name="Transformer_Decoder")(
+                y, tokens, head=kc[0, 0].astype(y.dtype))
+            return smow_shuffle(y, 2)
         y = PixelTransformerDecoder(128, folded_input=True,
                                     name="Transformer_Decoder")(y, tokens)
-        y = Conv(4, 1, use_bias=False, name="classifier_conv")(y)
+        y = convops.conv(y, kc.astype(y.dtype))
         # sigmoid before the sub-pixel shuffle (elementwise, commutes with the
         # permutation): the post-shuffle tensor is (B, 2H, 2W, 1) whose 1-wide
         # feature axis wastes 127/128 VPU lanes — measured 10x on v5e

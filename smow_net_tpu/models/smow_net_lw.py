@@ -20,7 +20,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..nn.layers import Conv, ConvParams
+from ..nn.layers import ConvParams
 from ..nn.layers import batch_norm
 from ..nn.mobilenetv2 import MobileNetV2
 from ..nn.resnet3d import unfold_t
@@ -144,7 +144,18 @@ class SMOWNetLW(nn.Module):
         y = ConvTransBlockLW(28, name="C3DT5")(y, train)
         y = ConvBlockLW(16, name="C3D5")(_cat_folded(y, x0f, 4), train)
 
+        from . import smow_net as _sm
+
+        kc, _ = ConvParams((1, 1, 64, 4), use_bias=False,
+                           name="classifier_conv")()
+        if not train and _sm._HEADFUSE:
+            # eval: classifier + sigmoid folded into the fused cross-attn
+            # kernel epilogue (see smow_net.py)
+            y = PixelTransformerDecoder(64, folded_input=True,
+                                        name="Transformer_Decoder")(
+                y, tokens, head=kc[0, 0].astype(y.dtype))
+            return smow_shuffle(y, 2)
         y = PixelTransformerDecoder(64, folded_input=True,
                                     name="Transformer_Decoder")(y, tokens)
-        y = Conv(4, 1, use_bias=False, name="classifier_conv")(y)
+        y = convops.conv(y, kc.astype(y.dtype))
         return smow_shuffle(nn.sigmoid(y), 2)

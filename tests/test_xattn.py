@@ -168,3 +168,57 @@ def test_bf16_fwd_close(
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("use_perm", [False, True])
+def test_layer_sigmoid_head_matches_xla(use_perm):
+    """The classifier-fold epilogue kernel (sigmoid(layer(x) @ wc)) vs the
+    portable composition."""
+    args = _layer_inputs(11)
+    wc = jax.random.normal(jax.random.PRNGKey(20), (D, 4), jnp.float32) * 0.1
+    perm = _perm() if use_perm else None
+    xattn.set_xattn_impl("xla")
+    ref = xattn.cross_layer_head1_sigmoid_auto(
+        *args, wc, scale=D ** -0.5, perm=perm)
+    xattn.set_xattn_impl("pallas", interpret=True)
+    out = xattn.cross_layer_head1_sigmoid_auto(
+        *args, wc, scale=D ** -0.5, perm=perm)
+    assert out.shape == (B, N, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_layer_supported_at_lw_width():
+    """D=64 (the LW decoder) must route to the fused kernel and agree with
+    the portable path (the r3 gate d % 128 silently excluded it)."""
+    from smow_net_tpu.ops.pallas.xattn import xlayer_supported
+
+    assert xlayer_supported(4096, 64, 8, 8, 128)
+    d = 64
+    ks = jax.random.split(jax.random.PRNGKey(31), 14)
+    x = jax.random.normal(ks[0], (B, N, d), jnp.float32)
+    a = (x,
+         jax.random.normal(ks[1], (d,), jnp.float32) * 0.2 + 1.0,
+         jax.random.normal(ks[2], (d,), jnp.float32) * 0.1,
+         jax.random.normal(ks[3], (d, H_), jnp.float32) * 0.1,
+         jax.random.normal(ks[4], (B, M_, H_), jnp.float32),
+         jax.random.normal(ks[5], (B, M_, H_), jnp.float32),
+         jax.random.normal(ks[6], (H_, d), jnp.float32) * 0.1,
+         jax.random.normal(ks[7], (d,), jnp.float32) * 0.1,
+         jax.random.normal(ks[8], (d,), jnp.float32) * 0.2 + 1.0,
+         jax.random.normal(ks[9], (d,), jnp.float32) * 0.1,
+         jax.random.normal(ks[10], (d, 128), jnp.float32) * 0.1,
+         jax.random.normal(ks[11], (128,), jnp.float32) * 0.1,
+         jax.random.normal(ks[12], (128, d), jnp.float32) * 0.1,
+         jax.random.normal(ks[13], (d,), jnp.float32) * 0.1)
+    ref = xattn.cross_layer_head1(*a, scale=d ** -0.5)
+    xattn.set_xattn_impl("pallas", interpret=True)
+    out = xattn.cross_layer_head1_auto(*a, scale=d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+    g_ref = jax.grad(lambda x_: jnp.sum(
+        xattn.cross_layer_head1(x_, *a[1:], scale=d ** -0.5) ** 2))(x)
+    g_out = jax.grad(lambda x_: jnp.sum(
+        xattn.cross_layer_head1_auto(x_, *a[1:], scale=d ** -0.5) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
