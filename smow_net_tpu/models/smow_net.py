@@ -434,15 +434,16 @@ class ConvTransBlock3d(nn.Module):
 # conv(f; k[Cy:]) by linearity of the contraction) so the concatenated
 # tensor — up to 134 MB at the 128² stage — never materializes in HBM.
 # Param tree unchanged (the declared kernel is sliced at trace time).
-# A/B toggle for the chip probe; default set by measurement (off until the
-# split form wins on-chip — XLA may already fuse the concat into the conv's
-# input read, in which case two convs just halve the arithmetic intensity).
-_CATSPLIT = False
+# DEFAULTS SET BY MEASUREMENT (tools/probe_dec_catsplit.py on-chip,
+# artifacts/bench_r03/dec_catsplit.txt, bs16 256² bf16, lifts in-graph):
+#   whole decoder train  off 16.74 ms | split 12.75 | liftfold 12.41
+#   whole decoder infer  off 15.98 ms | split 12.61 | liftfold 11.91
+_CATSPLIT = True
 # Second rung (implies the split): the skip operand arrives PRE-LIFT
 # (T=2-folded) and conv1 contracts it with the lift-composed kernel
 # (ops/convops.tdense_lift24_kernel) — the T=4 lifted skip (67 MB at the
-# 128² stage) never materializes. Same MAC count; off until probed.
-_LIFTFOLD = False
+# 128² stage) never materializes. Wins on-chip (see above): default ON.
+_LIFTFOLD = True
 
 
 def set_convblock_catsplit(v: bool, liftfold: bool = False):

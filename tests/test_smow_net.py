@@ -212,14 +212,14 @@ def test_convblock_catsplit_equivalence():
     y = jnp.asarray(rng.normal(size=(2, 16, 16, 4 * 8)), jnp.float32)
     f = jnp.asarray(rng.normal(size=(2, 16, 16, 4 * 8)), jnp.float32)
     blk = sn.ConvBlock23d(16)
-    variables = blk.init(jax.random.PRNGKey(0), (y, f), False)
     try:
         sn.set_convblock_catsplit(False)
+        variables = blk.init(jax.random.PRNGKey(0), (y, f), False)
         ref = blk.apply(variables, (y, f), False)
         sn.set_convblock_catsplit(True)
         out = blk.apply(variables, (y, f), False)
     finally:
-        sn.set_convblock_catsplit(False)
+        sn.set_convblock_catsplit(True, liftfold=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
@@ -234,14 +234,14 @@ def test_convblock_liftfold_equivalence():
     f2 = jnp.asarray(rng.normal(size=(2, 16, 16, 2 * 8)), jnp.float32)
     f4 = sn._lift24_folded(f2)
     blk = sn.ConvBlock23d(16)
-    variables = blk.init(jax.random.PRNGKey(0), (y, f4), False)
     try:
         sn.set_convblock_catsplit(True)
+        variables = blk.init(jax.random.PRNGKey(0), (y, f4), False)
         ref = blk.apply(variables, (y, f4), False)
         sn.set_convblock_catsplit(True, liftfold=True)
         out = blk.apply(variables, (y, f2), False)
     finally:
-        sn.set_convblock_catsplit(False)
+        sn.set_convblock_catsplit(True, liftfold=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
