@@ -76,14 +76,54 @@ class ConvTransBlockLW(nn.Module):
 class ConvBlockLW(nn.Module):
     """(1,3,3) conv + bias-free cyclic temporal mix + BN + LeakyReLU(0.2)
     (reference models/SMOW_Net_LW.py:140-176), T-folded; narrow stages fuse
-    the mix into a dense block conv kernel."""
+    the mix into a dense block conv kernel.
+
+    Narrow stages also accept a PAIR (decoder stream, skip): the per-frame
+    concat never materializes (conv linearity, models/smow_net._CATSPLIT)
+    and under _LIFTFOLD the skip arrives PRE-LIFT (T=2-folded) with the
+    fixed trilinear T=2->4 lift composed into its kernel half — the (1,3,3)
+    conv has no temporal taps, so the composition is just
+    Kb'[.., s*C+c, ..] = sum_i L24[i, s] Kb[.., i*C+c, ..]."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x, train: bool) -> jnp.ndarray:
         T, F = 4, self.features
         mix = CyclicTemporalMix(F, use_bias=False, name="tmix")
+        pair = isinstance(x, tuple)
+        if pair and not (_sn._CATSPLIT and F <= _sn._MIXFUSE_MAX_F):
+            a, b = x
+            if _sn._LIFTFOLD:                    # skip arrives pre-lift
+                b = _lift24_folded(b)
+            x = _cat_folded(a, b, T)
+            pair = False
+        if pair:
+            a, b = x
+            Ca = a.shape[-1] // T
+            lifted = not _sn._LIFTFOLD
+            Cb = b.shape[-1] // (T if lifted else 2)
+            kernel, bias = ConvParams((1, 3, 3, Ca + Cb, F), name="spatial")()
+            Mb, _ = mix.fused_blocks()
+            dt = jnp.promote_types(a.dtype, b.dtype)
+            a, b = a.astype(dt), b.astype(dt)
+            Kfa = jnp.einsum("hwcf,ijfg->hwicjg", kernel[0][:, :, :Ca], Mb)
+            Kfa = Kfa.reshape(3, 3, T * Ca, T * F)
+            Kfb = jnp.einsum("hwcf,ijfg->hwicjg", kernel[0][:, :, Ca:], Mb)
+            if not lifted:
+                c = 1.0 / 3.0
+                L24 = jnp.asarray([[1.0, 0.0], [1 - c, c], [c, 1 - c],
+                                   [0.0, 1.0]], Kfb.dtype)
+                Kfb = jnp.einsum("is,hwicjg->hwscjg", L24, Kfb)
+                Kfb = Kfb.reshape(3, 3, 2 * Cb, T * F)
+            else:
+                Kfb = Kfb.reshape(3, 3, T * Cb, T * F)
+            btot = jnp.einsum("f,ijfg->jg", bias, Mb).reshape(T * F)
+            y = (convops.conv(a, Kfa.astype(dt), 1, 1)
+                 + convops.conv(b, Kfb.astype(dt), 1, 1)
+                 + btot.astype(dt))
+            y = _bn_folded(batch_norm(), y, train, T)
+            return nn.leaky_relu(y, 0.2)
         B, H, W, TC = x.shape
         Cin = TC // T
         kernel, bias = ConvParams((1, 3, 3, Cin, F), name="spatial")()
@@ -130,19 +170,24 @@ class SMOWNetLW(nn.Module):
             TokenTransformerEncoder(16, name="Transformer_Encoder"),
             unfold_t(x0f, 2), train)
 
-        x0f, f1, f2, f3, f4 = map(_lift24_folded, (x0f, f1, f2, f3, f4))
-
-        y = max_pool(f4, (2, 2), (2, 2))
+        if _sn._LIFTFOLD:
+            # skips stay T=2-folded; ConvBlockLW composes the lift into the
+            # skip kernel half (narrow stages) — only the seed is lifted
+            y = max_pool(_lift24_folded(f4), (2, 2), (2, 2))
+        else:
+            x0f, f1, f2, f3, f4 = map(
+                _lift24_folded, (x0f, f1, f2, f3, f4))
+            y = max_pool(f4, (2, 2), (2, 2))
         y = ConvTransBlockLW(320, name="C3DT1")(y, train)
-        y = ConvBlockLW(160, name="C3D1")(_cat_folded(y, f4, 4), train)
+        y = ConvBlockLW(160, name="C3D1")((y, f4), train)
         y = ConvTransBlockLW(160, name="C3DT2")(y, train)
-        y = ConvBlockLW(64, name="C3D2")(_cat_folded(y, f3, 4), train)
+        y = ConvBlockLW(64, name="C3D2")((y, f3), train)
         y = ConvTransBlockLW(64, name="C3DT3")(y, train)
-        y = ConvBlockLW(32, name="C3D3")(_cat_folded(y, f2, 4), train)
+        y = ConvBlockLW(32, name="C3D3")((y, f2), train)
         y = ConvTransBlockLW(32, name="C3DT4")(y, train)
-        y = ConvBlockLW(28, name="C3D4")(_cat_folded(y, f1, 4), train)
+        y = ConvBlockLW(28, name="C3D4")((y, f1), train)
         y = ConvTransBlockLW(28, name="C3DT5")(y, train)
-        y = ConvBlockLW(16, name="C3D5")(_cat_folded(y, x0f, 4), train)
+        y = ConvBlockLW(16, name="C3D5")((y, x0f), train)
 
         from . import smow_net as _sm
 

@@ -320,3 +320,30 @@ def test_headfuse_matches_separate_head():
             sm.set_headfuse(False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_convblock_lw_pair_liftfold_equivalence():
+    """ConvBlockLW pair form: split skip contraction (narrow stages) with
+    the lift composed into the skip kernel == concat of the lifted skip."""
+    from smow_net_tpu.models import smow_net as sn
+    from smow_net_tpu.models.smow_net_lw import ConvBlockLW
+
+    rng = np.random.default_rng(6)
+    for F, Ca, Cb in ((16, 12, 8), (80, 12, 8)):  # narrow + wide(>gate)
+        y = jnp.asarray(rng.normal(size=(2, 8, 8, 4 * Ca)), jnp.float32)
+        f2 = jnp.asarray(rng.normal(size=(2, 8, 8, 2 * Cb)), jnp.float32)
+        f4 = sn._lift24_folded(f2)
+        blk = ConvBlockLW(F)
+        try:
+            sn.set_convblock_catsplit(False)
+            v = blk.init(jax.random.PRNGKey(0), (y, f4), False)
+            ref = blk.apply(v, (y, f4), False)
+            sn.set_convblock_catsplit(True, liftfold=True)
+            assert (jax.tree_util.tree_structure(
+                blk.init(jax.random.PRNGKey(0), (y, f2), False))
+                == jax.tree_util.tree_structure(v))
+            out = blk.apply(v, (y, f2), False)
+        finally:
+            sn.set_convblock_catsplit(True, liftfold=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"F={F}")

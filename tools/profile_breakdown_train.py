@@ -148,28 +148,32 @@ def main():
         f0 = r(k(44), (BS, s2 * s2, 32), bf)
         timeit("  pool einsum", Pool2(), att, f0, train_kw=False)
 
+    from smow_net_tpu.models.smow_net import _lift24_folded
+
     class Decoder(nn.Module):
+        # mirrors SMOWNet's composition under the liftfold default: skips
+        # arrive PRE-lift (T=2-folded) as pairs; only the seed is lifted
         @nn.compact
         def __call__(self, f1, f2, f3, f4, x0, train=True):
-            y = max_pool(f4, (2, 2), (2, 2))
+            y = max_pool(_lift24_folded(f4), (2, 2), (2, 2))
             y = ConvTransBlock3d(256, name="C3DT1")(y, train)
-            y = ConvBlock23d(128, name="C3D1")(_cat_folded(y, f4, 4), train)
+            y = ConvBlock23d(128, name="C3D1")((y, f4), train)
             y = ConvTransBlock3d(128, name="C3DT2")(y, train)
-            y = ConvBlock23d(64, name="C3D2")(_cat_folded(y, f3, 4), train)
+            y = ConvBlock23d(64, name="C3D2")((y, f3), train)
             y = ConvTransBlock3d(64, name="C3DT3")(y, train)
-            y = ConvBlock23d(64, name="C3D3")(_cat_folded(y, f2, 4), train)
+            y = ConvBlock23d(64, name="C3D3")((y, f2), train)
             y = ConvTransBlock3d(64, name="C3DT4")(y, train)
-            y = ConvBlock23d(32, name="C3D4")(_cat_folded(y, f1, 4), train)
+            y = ConvBlock23d(32, name="C3D4")((y, f1), train)
             y = ConvTransBlock3d(32, name="C3DT5")(y, train)
-            y = ConvBlock23d(32, name="C3D5")(_cat_folded(y, x0, 4), train)
+            y = ConvBlock23d(32, name="C3D5")((y, x0), train)
             return y
 
     s = H // 2
-    f1 = r(k(4), (BS, s // 2, s // 2, 4 * 32), bf)
-    f2 = r(k(5), (BS, s // 4, s // 4, 4 * 64), bf)
-    f3 = r(k(6), (BS, s // 8, s // 8, 4 * 128), bf)
-    f4 = r(k(7), (BS, s // 16, s // 16, 4 * 256), bf)
-    x0l = r(k(8), (BS, s, s, 4 * 32), bf)
+    f1 = r(k(4), (BS, s // 2, s // 2, 2 * 32), bf)
+    f2 = r(k(5), (BS, s // 4, s // 4, 2 * 64), bf)
+    f3 = r(k(6), (BS, s // 8, s // 8, 2 * 128), bf)
+    f4 = r(k(7), (BS, s // 16, s // 16, 2 * 256), bf)
+    x0l = r(k(8), (BS, s, s, 2 * 32), bf)
     if full or only == "dec":
         timeit("3D U-Net decoder folded (5 stages)", Decoder(),
                f1, f2, f3, f4, x0l)
