@@ -398,17 +398,8 @@ class ConvTransBlock3d(nn.Module):
             else:
                 # Spatial convT lowering within the per-frame form: dilated
                 # convT everywhere, fwd AND bwd. Both phase-packed rewrites
-                # were probed in place and REJECTED: the phase-packed
-                # forward (convops.conv_transpose_s2_phase) wins the
-                # standalone op probe at h>=32 but loses inside this block
-                # (whole decoder train 21.4 -> 22.4 ms) because its
-                # sub-pixel shuffle breaks fusion with the temporal fold/BN
-                # that follows; the hybrid (dilated fwd + phase-form custom
-                # VJP, convops.conv_transpose_s2_hybrid) loses the same way
-                # — same-process A/B tools/probe_dec_ab.py: dilated
-                # 21.42/21.48 ms vs hybrid 22.48/22.42 ms (bs16 256^2
-                # bf16). XLA's wgrad through the lhs-dilated window fuses;
-                # the phase adjoint's shuffle/unshuffle doesn't.
+                # were probed in place, REJECTED, and deleted — measured
+                # verdicts in ops/convops.py (above causal_conv1d).
                 xu = unfold_t(x, T).reshape(B * T, H, W, Cin)
                 y = convops.conv_transpose(xu, kernel[0].astype(x.dtype),
                                            (2, 2), (p, p), (1, 1))

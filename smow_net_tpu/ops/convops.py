@@ -192,34 +192,14 @@ def _conv3d_decomposed(x, kernel, stride, pad, dilation, groups):
 # within noise of XLA's own lowering at SS2D/MobileNetV2/ELGCNet shapes
 # (tools/probe_dw.py). A calibrated re-probe (tools/probe_dw2d.py) made the
 # STRIDE-2 3x3 cases look 10-30x above the VPU flop floor, so an
-# s2d-phase-blocked Pallas kernel was built (ops/pallas/dwconv.py: the nine
-# taps as four full-lane FMAs on 2x2-phase-folded lanes + a fold matmul).
-# VERDICT (tools/probe_dwpallas.py, v5e 2026-08-18): REJECTED for routing —
-# XLA wins every shape (flow 128^2 C32: 0.46/1.40 ms fwd/fwd+bwd vs pallas
-# 0.71/2.02; mbv2 112^2 C96 s2: 0.27/1.00 vs 1.30/2.83). The naive tap floor
-# ignores the VMEM traffic of the shifted-operand builds (~16 full-array
-# reads per frame pair), which is where the stencil formulation actually
-# lives; XLA's grouped lowering is near that real floor. The kernel stays
-# available behind set_dw_impl("pallas") as measurement apparatus.
-_DW_IMPL = "xla"
-
-
-def set_dw_impl(name: str):
-    """Depthwise stride-2 backend: 'xla' (default — measured faster at all
-    probed shapes) or 'pallas' (the s2d-phase kernel, kept for probes)."""
-    assert name in ("xla", "pallas"), name
-    global _DW_IMPL
-    _DW_IMPL = name
-
-
-def _dw_s2_route(x5, kernel4):
-    if _DW_IMPL != "pallas":
-        return None
-    from .pallas.dwconv import dw3x3_s2_pallas, dw_s2_supported
-
-    if not dw_s2_supported(x5.shape):
-        return None
-    return dw3x3_s2_pallas(x5, kernel4)
+# Depthwise stride-2 convs: an s2d-phase-blocked Pallas kernel (nine taps
+# as four full-lane FMAs on 2x2-phase-folded lanes + a fold matmul) was
+# built and PROBED-THEN-DELETED (v5e 2026-08-18, round-3 history
+# `ops/pallas/dwconv.py` / `tools/probe_dwpallas.py`): XLA's grouped
+# lowering won every shape (flow 128^2 C32: 0.46/1.40 ms fwd/fwd+bwd vs
+# pallas 0.71/2.02; mbv2 112^2 C96 s2: 0.27/1.00 vs 1.30/2.83). The naive
+# tap-flop floor ignores the VMEM traffic of the shifted-operand builds
+# (~16 full-array reads per frame pair) — XLA is near the real floor.
 
 
 def to_tuple(v, n: int) -> Tuple[int, ...]:
@@ -264,20 +244,6 @@ def conv(
             ix = tuple(slice(None, None, s) for s in stride)
             x = x[(slice(None),) + ix]
         return jnp.matmul(x, kernel.reshape(kernel.shape[-2], kernel.shape[-1]))
-    if (groups > 1 and groups == x.shape[-1] == kernel.shape[-1]
-            and kernel.shape[-2] == 1 and all(d == 1 for d in dilation)):
-        # depthwise 3x3 spatial-stride-2 pad-1 -> Pallas s2d-phase kernel
-        if (n == 2 and kernel.shape[:2] == (3, 3) and stride == (2, 2)
-                and pad == (1, 1)):
-            y5 = _dw_s2_route(x[:, None], kernel[None, :, :, 0, :])
-            if y5 is not None:
-                return y5[:, 0]
-        if (n == 3 and kernel.shape[:3] in ((1, 3, 3), (3, 3, 3))
-                and stride[0] == 1 and stride[1:] == (2, 2)
-                and pad[0] == kernel.shape[0] // 2 and pad[1:] == (1, 1)):
-            y5 = _dw_s2_route(x, kernel[..., 0, :])
-            if y5 is not None:
-                return y5
     if (n == 3 and _CONV3D_IMPL == "decomposed" and kernel.shape[0] > 1
             and kernel.shape[0] % 2 == 1 and stride[0] == 1
             and dilation[0] == 1 and pad[0] == kernel.shape[0] // 2):
@@ -358,106 +324,18 @@ def conv_transpose(
     )
 
 
-def convt_s2_phase_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
-    """Phase-pack a (5, 5, Cin, F) stride-2 transposed-conv kernel (forward
-    layout, torch p=2/op=1) into ONE (3, 3, Cin, 4F) stride-1 conv kernel.
-
-    out[2m+a] = sum_d xd[2m+a+d-2] W[d] keeps only d = 2e-a, so each output
-    phase (a, b) is a 3x3 conv over x[m-1..m+1] with kernel W[2e_h-a, 2e_w-b]
-    (zero where the tap index leaves [0,4]).
-
-    PROBED AND REJECTED for the SMOW decoder (v5e, bf16): despite the
-    dilated form's 12.7% MFU, the phase form measured SLOWER in place
-    (ConvTrans stack 3.36 -> 4.4 ms) — the extra sub-pixel-shuffle pass
-    over the upsampled tensor plus the 36/25 tap padding cost more than
-    the zero-dilated rows. Kept as a building block (exactness-tested)."""
-    K00 = kernel[0::2, 0::2]
-    K01 = jnp.pad(kernel[0::2, 1::2], ((0, 0), (1, 0), (0, 0), (0, 0)))
-    K10 = jnp.pad(kernel[1::2, 0::2], ((1, 0), (0, 0), (0, 0), (0, 0)))
-    K11 = jnp.pad(kernel[1::2, 1::2], ((1, 0), (1, 0), (0, 0), (0, 0)))
-    return jnp.concatenate([K00, K01, K10, K11], axis=-1)
-
-
-def conv_transpose_s2_phase(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """ConvTranspose2d(k=5, s=2, p=2, output_padding=1) as a phase-packed
-    3x3 conv + sub-pixel shuffle. Exact rewrite of conv_transpose(x, kernel,
-    2, 2, 1); x: (B, h, w, Cin) -> (B, 2h, 2w, F)."""
-    B, h, w, _ = x.shape
-    F = kernel.shape[-1]
-    kp = convt_s2_phase_kernel(kernel)
-    y = lax.conv_general_dilated(
-        x, kp, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_dim_numbers(2),
-        preferred_element_type=x.dtype)
-    y = y.reshape(B, h, w, 2, 2, F).transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(B, 2 * h, 2 * w, F)
-
-
-def _phase_conv(x: jnp.ndarray, kp: jnp.ndarray) -> jnp.ndarray:
-    return lax.conv_general_dilated(
-        x, kp, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_dim_numbers(2),
-        preferred_element_type=x.dtype)
-
-
-@jax.custom_vjp
-def conv_transpose_s2_hybrid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """ConvTranspose2d(k=5, s=2, p=2, op=1) with a split lowering:
-
-    - FORWARD: the lhs-dilated conv (same as `conv_transpose(x, k, 2, 2, 1)`)
-      — fuses with the surrounding temporal fold/BN, and the phase-packed
-      rewrite measured slower forward-only in place (see
-      conv_transpose_s2_phase);
-    - BACKWARD: both grads taken through the exact phase-packed 3x3 form
-      via `jax.linear_transpose` (no extra forward pass): dx is a plain 3x3
-      conv and dkernel a standard stride-1 wgrad, instead of XLA's wgrad
-      that walks an lhs-dilated window (the dominant cost of the decoder's
-      training backward — tools/probe_convt_train.py).
-
-    PROBED AND REJECTED in place (same-process A/B, tools/probe_dec_ab.py,
-    bs16 256^2 bf16 whole-decoder train): dilated 21.42/21.48 ms vs hybrid
-    22.48/22.42 ms. The phase adjoint's dy shuffle/unshuffle costs more
-    than XLA's fused lhs-dilated wgrad saves. Kept (grads pinned by
-    tests/test_convops.py::test_convt_s2_hybrid_grads_match_autodiff) as
-    the measured record; default routing stays "dilated".
-    """
-    return conv_transpose(x, kernel, 2, 2, 1)
-
-
-def _cts2_fwd(x, kernel):
-    return conv_transpose_s2_hybrid(x, kernel), (x, kernel)
-
-
-def _cts2_bwd(res, dy):
-    x, kernel = res
-    B, h, w, _ = x.shape
-    F = kernel.shape[-1]
-    # inverse of the sub-pixel shuffle in conv_transpose_s2_phase
-    dyp = dy.reshape(B, h, 2, w, 2, F).transpose(0, 1, 3, 2, 4, 5)
-    dyp = dyp.reshape(B, h, w, 4 * F)
-    kp = convt_s2_phase_kernel(kernel)
-    dx = jax.linear_transpose(lambda x_: _phase_conv(x_, kp), x)(dyp)[0]
-    dkp = jax.linear_transpose(lambda k_: _phase_conv(x, k_), kp)(dyp)[0]
-    dkernel = jax.linear_transpose(convt_s2_phase_kernel, kernel)(dkp)[0]
-    return dx, dkernel
-
-
-conv_transpose_s2_hybrid.defvjp(_cts2_fwd, _cts2_bwd)
-
-# A/B toggle for the k5/s2/p2/op1 transposed-conv VJP routing (the forward
-# is the identical dilated lowering either way). "dilated" measured faster
-# in place — see conv_transpose_s2_hybrid's docstring.
-_CONVT_S2_IMPL = "dilated"
-
-
-def set_convt_s2_impl(name: str):
-    assert name in ("hybrid", "dilated"), name
-    global _CONVT_S2_IMPL
-    _CONVT_S2_IMPL = name
-
-
-def conv_transpose_s2_auto(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    if _CONVT_S2_IMPL == "hybrid":
-        return conv_transpose_s2_hybrid(x, kernel)
-    return conv_transpose(x, kernel, 2, 2, 1)
+# Stride-2 transposed-conv rewrites, both PROBED-THEN-DELETED (round-3
+# history has `conv_transpose_s2_phase` / `conv_transpose_s2_hybrid` +
+# `tools/probe_dec_ab.py` / `probe_convt_train.py`): the k5/s2 convT always
+# lowers as the lhs-dilated conv.
+#  - phase-packed form (one 3x3 conv over 2x2-phase-packed kernels + a
+#    sub-pixel shuffle): wins the standalone op probe at h>=32 but LOSES in
+#    place (ConvTrans stack 3.36 -> 4.4 ms) — the shuffle pass breaks
+#    fusion with the temporal fold/BN that follows;
+#  - hybrid (dilated fwd + phase-form custom VJP via linear_transpose):
+#    whole-decoder train A/B dilated 21.42/21.48 ms vs hybrid 22.48/22.42
+#    (bs16 256^2 bf16) — the dy shuffle/unshuffle costs more than XLA's
+#    fused lhs-dilated wgrad saves.
 
 
 def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, groups: int = 1) -> jnp.ndarray:

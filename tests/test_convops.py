@@ -138,49 +138,3 @@ def test_conv3d_decomposed_matches_native():
         import numpy as np
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
-
-
-def test_convt_s2_phase_matches_conv_transpose():
-    """conv_transpose_s2_phase (phase-packed 3x3 + shuffle) == the
-    lhs-dilated ConvTranspose2d(k=5, s=2, p=2, op=1) lowering exactly."""
-    import jax
-    import jax.numpy as jnp
-    from smow_net_tpu.ops import convops
-
-    r, k = jax.random.normal, jax.random.PRNGKey
-    for i, (B, h, w, Cin, F) in enumerate([(2, 7, 9, 12, 8), (1, 4, 4, 3, 5)]):
-        x = r(k(i), (B, h, w, Cin), jnp.float32)
-        w5 = r(k(10 + i), (5, 5, Cin, F), jnp.float32)
-        ref = convops.conv_transpose(x, w5, 2, 2, 1)
-        got = convops.conv_transpose_s2_phase(x, w5)
-        assert got.shape == ref.shape
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=5e-5, rtol=1e-4)
-
-
-def test_convt_s2_hybrid_grads_match_autodiff():
-    """conv_transpose_s2_hybrid: forward identical to the dilated lowering,
-    custom phase-form VJP grads (dx, dkernel) == autodiff of the dilated
-    form."""
-    import jax
-    import jax.numpy as jnp
-    from smow_net_tpu.ops import convops
-
-    r, k = jax.random.normal, jax.random.PRNGKey
-    for i, (B, h, w, Cin, F) in enumerate([(2, 7, 9, 12, 8), (1, 4, 4, 3, 5)]):
-        x = r(k(i), (B, h, w, Cin), jnp.float32)
-        w5 = r(k(10 + i), (5, 5, Cin, F), jnp.float32) * 0.2
-        ref = convops.conv_transpose(x, w5, 2, 2, 1)
-        got = convops.conv_transpose_s2_hybrid(x, w5)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
-
-        def loss(fn):
-            return lambda a, b: jnp.sum(jnp.sin(fn(a, b)))
-
-        ga = jax.grad(loss(lambda a, b: convops.conv_transpose(a, b, 2, 2, 1)),
-                      argnums=(0, 1))(x, w5)
-        gb = jax.grad(loss(convops.conv_transpose_s2_hybrid),
-                      argnums=(0, 1))(x, w5)
-        for u, v in zip(ga, gb):
-            np.testing.assert_allclose(np.asarray(v), np.asarray(u),
-                                       atol=5e-5, rtol=1e-4)
