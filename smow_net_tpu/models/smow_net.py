@@ -98,8 +98,10 @@ class BasicConv3d(nn.Module):
 # convs (the depthwise kernel densified to a diagonal block — same trick as
 # the encoder's blockdiag@mix lowering), the trilinear lift degenerating to
 # a per-frame bilinear resize (T: 2->2 is identity under align_corners).
-# A/B-gated pending the on-chip probe (tools/probe_flow_ab.py).
-_FLOW_FOLDED = False
+# DEFAULT ON by measurement (tools/probe_flow_ab.py on-chip, bs16 256²
+# bf16: infer 2.60 -> 2.09 ms, train 3.36 -> 2.97 ms at 83-89% of HBM
+# peak; artifacts/bench_r04/flow_ab.txt).
+_FLOW_FOLDED = True
 
 
 def set_flow_folded(v: bool):
