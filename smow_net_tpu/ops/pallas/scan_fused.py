@@ -105,16 +105,18 @@ def fused_supported(L: int, Cg: int) -> bool:
     return L % _pick_chunk(L, Cg) == 0 and Cg % 8 == 0 and _pick_chunk(L, Cg) >= 8
 
 
-def _fwd_kernel(dt_ref, u_ref, B_ref, C_ref, A_ref, D_ref, y_ref, h_st,
-                *, chunk: int, step: int, softplus: bool):
+def _fwd_kernel(dt_ref, u_ref, B_ref, C_ref, A_ref, D_ref, h0_ref, y_ref,
+                h_st, *, chunk: int, step: int, softplus: bool):
     """All refs carry a leading `bt` (batch*group tile) dim: per-row ops are
     (bt, N, Cg)-sized, amortizing the sequential row loop's overhead over
-    bt pairs instead of serializing bt single-pair programs."""
+    bt pairs instead of serializing bt single-pair programs. `h0_ref` seeds
+    the recurrence (zeros for a from-rest scan; per-segment carries on the
+    two-level long-L path)."""
     li = pl.program_id(1)
 
     @pl.when(li == 0)
     def _():
-        h_st[:] = jnp.zeros_like(h_st)
+        h_st[...] = h0_ref[...]
 
     A = A_ref[...]                  # (bt, N, Cg) fp32 (already -exp(A_log))
     Dv = D_ref[...]                 # (bt, 1, Cg)
@@ -144,7 +146,80 @@ def _fwd_kernel(dt_ref, u_ref, B_ref, C_ref, A_ref, D_ref, y_ref, h_st,
     h_st[...] = h
 
 
-def _ckpt_kernel(dt_ref, u_ref, B_ref, A_ref, hck_ref, h_st,
+def _carry_kernel(dt_ref, u_ref, B_ref, A_ref, h0_ref, hend_ref, h_st,
+                  *, chunk: int, step: int, softplus: bool):
+    """Forward sweep emitting ONLY the final hidden state (the two-level
+    path's pass 1: per-segment local carries, massively parallel over
+    segments). No y write — ~Cg/(N*Cg) of the fwd kernel's output traffic."""
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_st[...] = h0_ref[...]
+
+    A = A_ref[...]
+
+    def slab(i, h):
+        base = i * step
+        dt = dt_ref[:, pl.ds(base, step), :].astype(jnp.float32)
+        if softplus:
+            dt = jax.nn.softplus(dt)
+        u = u_ref[:, pl.ds(base, step), :].astype(jnp.float32)
+        dtu = dt * u
+        BsT = jnp.swapaxes(
+            B_ref[:, pl.ds(base, step), :].astype(jnp.float32), 1, 2)
+        for r in range(step):
+            h = jnp.exp(dt[:, r : r + 1, :] * A) * h \
+                + BsT[:, :, r : r + 1] * dtu[:, r : r + 1, :]
+        return h
+
+    h = jax.lax.fori_loop(0, chunk // step, slab, h_st[...])
+    h_st[...] = h
+
+    @pl.when(li == pl.num_programs(1) - 1)
+    def _():
+        hend_ref[...] = h
+
+
+def _adjcarry_kernel(dt_ref, C_ref, dy_ref, A_ref, gloc_ref, g_st, an_st,
+                     *, chunk: int, step: int, softplus: bool):
+    """Reverse sweep emitting ONLY the local adjoint carry at the segment's
+    first row (g_l = C_l dy_l + a_{l+1} g_{l+1}, walked right-to-left with
+    zero incoming). Needs no hidden states — dt/C/dy reads only."""
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        g_st[:] = jnp.zeros_like(g_st)
+        an_st[:] = jnp.zeros_like(an_st)
+
+    A = A_ref[...]
+
+    def slab(j, carry):
+        g, a_next = carry
+        base = (chunk // step - 1 - j) * step
+        dt = dt_ref[:, pl.ds(base, step), :].astype(jnp.float32)
+        if softplus:
+            dt = jax.nn.softplus(dt)
+        CsT = jnp.swapaxes(
+            C_ref[:, pl.ds(base, step), :].astype(jnp.float32), 1, 2)
+        dy = dy_ref[:, pl.ds(base, step), :].astype(jnp.float32)
+        for r in range(step - 1, -1, -1):
+            g = CsT[:, :, r : r + 1] * dy[:, r : r + 1, :] + a_next * g
+            a_next = jnp.exp(dt[:, r : r + 1, :] * A)
+        return g, a_next
+
+    g, a_next = jax.lax.fori_loop(0, chunk // step, slab,
+                                  (g_st[...], an_st[...]))
+    g_st[...] = g
+    an_st[...] = a_next
+
+    @pl.when(li == pl.num_programs(1) - 1)
+    def _():
+        gloc_ref[...] = g
+
+
+def _ckpt_kernel(dt_ref, u_ref, B_ref, A_ref, h0_ref, hck_ref, h_st,
                  *, chunk: int, step: int, softplus: bool):
     """Forward sweep that only records the hidden state at each chunk START
     (the reverse kernel recomputes within-chunk states from these)."""
@@ -152,7 +227,7 @@ def _ckpt_kernel(dt_ref, u_ref, B_ref, A_ref, hck_ref, h_st,
 
     @pl.when(li == 0)
     def _():
-        h_st[:] = jnp.zeros_like(h_st)
+        h_st[...] = h0_ref[...]
 
     hck_ref[:, 0] = h_st[...]
     A = A_ref[...]
@@ -175,19 +250,23 @@ def _ckpt_kernel(dt_ref, u_ref, B_ref, A_ref, hck_ref, h_st,
 
 
 def _bwd_kernel(dt_ref, u_ref, B_ref, C_ref, dy_ref, A_ref, hck_ref,
+                g0_ref, a0_ref,
                 dus_ref, ddt_ref, dB_ref, dC_ref, dA_ref,
                 h_scr, g_st, an_st, dA_st,
                 *, chunk: int, step: int, softplus: bool, N: int):
     """Reverse sweep (the grid's L axis walks chunks last-to-first via the
     index maps): recompute h within the chunk from its checkpoint, then run
     the adjoint recurrence g_l = C_l (x) dy_l + a_{l+1} g_{l+1} backward,
-    emitting every gradient as natural-(B,L,D)/(B,L,N)-sized outputs."""
+    emitting every gradient as natural-(B,L,D)/(B,L,N)-sized outputs.
+    (g0_ref, a0_ref) seed the adjoint carry from the right (zeros for the
+    rightmost/whole-sequence case; per-segment incoming adjoints on the
+    two-level path)."""
     li = pl.program_id(1)
 
     @pl.when(li == 0)
     def _():
-        g_st[:] = jnp.zeros_like(g_st)
-        an_st[:] = jnp.zeros_like(an_st)
+        g_st[...] = g0_ref[...]
+        an_st[...] = a0_ref[...]
         dA_st[:] = jnp.zeros_like(dA_st)
 
     A = A_ref[...]                  # (bt, N, Cg)
@@ -267,7 +346,13 @@ def _bwd_kernel(dt_ref, u_ref, B_ref, C_ref, dy_ref, A_ref, hck_ref,
         dA_ref[...] = dA_st[...]
 
 
-def _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus, interpret):
+def _expand_rows(A2, G, BG):
+    """Per-group (G, ...) rows -> per-(batch, group) (BG, ...) rows."""
+    return jnp.tile(A2, (BG // G,) + (1,) * (A2.ndim - 1))
+
+
+def _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus, interpret,
+              h0=None):
     """Forward pallas call on grouped (B*G, L, Cg) operands."""
     BG, L, Cg, G, N = dims
     bt = _pick_bt(BG, Cg, N)
@@ -277,8 +362,10 @@ def _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus, interpret):
         step //= 2
     # per-group A/D -> per-(batch, group) rows (bg = b*G + g -> index % G)
     # so a bt-tile block spanning groups reads its own rows; KB-scale tiles
-    A_full = jnp.tile(A2, (BG // G, 1, 1))
-    D_full = jnp.tile(Dv, (BG // G, 1, 1))
+    A_full = _expand_rows(A2, G, BG)
+    D_full = _expand_rows(Dv, G, BG)
+    if h0 is None:
+        h0 = jnp.zeros((BG, N, Cg), jnp.float32)
 
     kernel = functools.partial(_fwd_kernel, chunk=chunk, step=step,
                                softplus=delta_softplus)
@@ -286,15 +373,16 @@ def _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus, interpret):
                        memory_space=pltpu.VMEM)
     seqn = pl.BlockSpec((bt, chunk, N), lambda bg, l: (bg, l, 0),
                         memory_space=pltpu.VMEM)
+    nc = pl.BlockSpec((bt, N, Cg), lambda bg, l: (bg, 0, 0),
+                      memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(BG // bt, L // chunk),
         in_specs=[
-            seq, seq, seqn, seqn,
-            pl.BlockSpec((bt, N, Cg), lambda bg, l: (bg, 0, 0),
-                         memory_space=pltpu.VMEM),
+            seq, seq, seqn, seqn, nc,
             pl.BlockSpec((bt, 1, Cg), lambda bg, l: (bg, 0, 0),
                          memory_space=pltpu.VMEM),
+            nc,
         ],
         out_specs=seq,
         out_shape=jax.ShapeDtypeStruct((BG, L, Cg), jnp.float32),
@@ -304,12 +392,79 @@ def _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus, interpret):
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(dt2, u2, B2, C2, A_full, D_full)
+    )(dt2, u2, B2, C2, A_full, D_full, h0)
 
 
-def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret):
+def _carry_core(dt2, u2, B2, A_full, h0, dims, delta_softplus, interpret):
+    """Per-row final hidden states (no y): pass 1 of the two-level path."""
+    BG, L, Cg, G, N = dims
+    bt = _pick_bt(BG, Cg, N)
+    chunk = _pick_chunk(L, Cg, bt)
+    step = _STEP
+    while chunk % step:
+        step //= 2
+    kernel = functools.partial(_carry_kernel, chunk=chunk, step=step,
+                               softplus=delta_softplus)
+    seq = pl.BlockSpec((bt, chunk, Cg), lambda bg, l: (bg, l, 0),
+                       memory_space=pltpu.VMEM)
+    seqn = pl.BlockSpec((bt, chunk, N), lambda bg, l: (bg, l, 0),
+                        memory_space=pltpu.VMEM)
+    nc = pl.BlockSpec((bt, N, Cg), lambda bg, l: (bg, 0, 0),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(BG // bt, L // chunk),
+        in_specs=[seq, seq, seqn, nc, nc],
+        out_specs=nc,
+        out_shape=jax.ShapeDtypeStruct((BG, N, Cg), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, N, Cg), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(dt2, u2, B2, A_full, h0)
+
+
+def _adjcarry_core(dt2, C2, dy2, A_full, dims, delta_softplus, interpret):
+    """Per-row local adjoint carries (zero incoming): bwd pass 1."""
+    BG, L, Cg, G, N = dims
+    bt = _pick_bt(BG, Cg, N)
+    chunk = _pick_chunk(L, Cg, bt)
+    step = _STEP
+    while chunk % step:
+        step //= 2
+    Lc = L // chunk
+    kernel = functools.partial(_adjcarry_kernel, chunk=chunk, step=step,
+                               softplus=delta_softplus)
+    rseq = pl.BlockSpec((bt, chunk, Cg), lambda bg, l: (bg, Lc - 1 - l, 0),
+                        memory_space=pltpu.VMEM)
+    rseqn = pl.BlockSpec((bt, chunk, N), lambda bg, l: (bg, Lc - 1 - l, 0),
+                         memory_space=pltpu.VMEM)
+    nc = pl.BlockSpec((bt, N, Cg), lambda bg, l: (bg, 0, 0),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(BG // bt, Lc),
+        in_specs=[rseq, rseqn, rseq, nc],
+        out_specs=nc,
+        out_shape=jax.ShapeDtypeStruct((BG, N, Cg), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, N, Cg), jnp.float32),
+                        pltpu.VMEM((bt, N, Cg), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(dt2, C2, dy2, A_full)
+
+
+def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret,
+              h0=None, g0=None, a0=None):
     """Checkpoint + reverse-sweep pallas calls on grouped operands.
-    Returns (dus, ddt2, dB2, dC2, dA2) in grouped layouts."""
+    Returns (dus, ddt2, dB2, dC2, dA2) in grouped layouts. h0/g0/a0 seed
+    the forward state and the incoming-from-the-right adjoint carry
+    (zeros = whole-sequence case)."""
     BG, L, Cg, G, N = dims
     bt = _pick_bt(BG, Cg, N)
     chunk = _pick_chunk_bwd(L, Cg, N, bt)
@@ -317,7 +472,13 @@ def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret):
     while chunk % step:
         step //= 2
     Lc = L // chunk
-    A_full = jnp.tile(A2, (BG // G, 1, 1))
+    A_full = _expand_rows(A2, G, BG)
+    if h0 is None:
+        h0 = jnp.zeros((BG, N, Cg), jnp.float32)
+    if g0 is None:
+        g0 = jnp.zeros((BG, N, Cg), jnp.float32)
+    if a0 is None:
+        a0 = jnp.zeros((BG, N, Cg), jnp.float32)
 
     seq = pl.BlockSpec((bt, chunk, Cg), lambda bg, l: (bg, l, 0),
                        memory_space=pltpu.VMEM)
@@ -333,7 +494,7 @@ def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret):
     hck = pl.pallas_call(
         ck_kernel,
         grid=(BG // bt, Lc),
-        in_specs=[seq, seq, seqn, a_spec],
+        in_specs=[seq, seq, seqn, a_spec, a_spec],
         out_specs=ck_spec,
         out_shape=jax.ShapeDtypeStruct((BG, Lc, N, Cg), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bt, N, Cg), jnp.float32)],
@@ -342,7 +503,7 @@ def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret):
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(dt2, u2, B2, A_full)
+    )(dt2, u2, B2, A_full, h0)
 
     # reverse-order index maps: grid step l processes chunk Lc-1-l
     rseq = pl.BlockSpec((bt, chunk, Cg), lambda bg, l: (bg, Lc - 1 - l, 0),
@@ -357,7 +518,8 @@ def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret):
     return pl.pallas_call(
         bw_kernel,
         grid=(BG // bt, Lc),
-        in_specs=[rseq, rseq, rseqn, rseqn, rseq, a_spec, rck],
+        in_specs=[rseq, rseq, rseqn, rseqn, rseq, a_spec, rck, a_spec,
+                  a_spec],
         out_specs=(rseq, rseq, rseqn, rseqn,
                    pl.BlockSpec((bt, N, Cg), lambda bg, l: (bg, 0, 0),
                                 memory_space=pltpu.VMEM)),
@@ -379,7 +541,139 @@ def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret):
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(dt2, u2, B2, C2, dy2, A_full, hck)
+    )(dt2, u2, B2, C2, dy2, A_full, hck, g0, a0)
+
+
+# ---------------------------------------------------------------------------
+# Two-level (segmented) long-L path. The kernels above walk L sequentially
+# per (batch, group) row; at CD-Mamba shapes (L = 65536, 16 rows) that
+# serial walk IS the model's floor. Segmenting L into S pieces makes the
+# walk parallel over BG*S rows at ~2x the recurrence FLOPs:
+#   fwd:  pass 1 per-segment local carries (h0 = 0, no y) -> tiny XLA
+#         combine over segment summaries (P_s = exp(A * sum_seg dt), an
+#         associative scan over S) -> pass 2 the normal fwd kernel seeded
+#         with each segment's true incoming state.
+#   bwd:  same trick on the reversed adjoint recurrence
+#         g_l = C_l dy_l + a_{l+1} g_{l+1} (per-segment local adjoint
+#         carries -> reverse combine with Q_s = exp(A * shifted segment
+#         dt-sum) -> seeded ckpt + reverse kernels per segment).
+# All cross-segment objects are (BG, S, N, Cg) — KBs, never L-sized.
+# ---------------------------------------------------------------------------
+
+_SEG_MIN_L = int(_os.environ.get("SCAN_SEG_MIN_L", "16384"))
+_SEG_TARGET_ROWS = int(_os.environ.get("SCAN_SEG_TARGET_ROWS", "256"))
+_SEG_MIN_K = int(_os.environ.get("SCAN_SEG_MIN_K", "2048"))
+
+
+def _seg_S(BG: int, L: int) -> int:
+    """Segment count: power of two dividing L, targeting ~_SEG_TARGET_ROWS
+    parallel rows while each segment keeps >= _SEG_MIN_K steps. 1 = don't
+    segment."""
+    if L < _SEG_MIN_L:
+        return 1
+    S = 1
+    while (BG * S * 2 <= _SEG_TARGET_ROWS and L % (S * 2) == 0
+           and L // (S * 2) >= _SEG_MIN_K):
+        S *= 2
+    return S
+
+
+def _seg_rows(t, S):
+    """(BG, L, c) -> (BG*S, L/S, c) — contiguous, free."""
+    BG, L, c = t.shape
+    return t.reshape(BG * S, L // S, c)
+
+
+def _seg_csums(dt2, S, softplus):
+    """Per-segment dt sums and first-row dts: ((BG, S, Cg), (BG, S, Cg))."""
+    BG, L, Cg = dt2.shape
+    c = dt2.astype(jnp.float32)
+    if softplus:
+        c = jax.nn.softplus(c)
+    cs = c.reshape(BG, S, L // S, Cg)
+    return jnp.sum(cs, axis=2), cs[:, :, 0]
+
+
+def _fwd_segmented(dt2, u2, B2, C2, A_full, D_full, dims, S,
+                   delta_softplus, interpret):
+    BG, L, Cg, _, N = dims
+    K = L // S
+    sdims = (BG * S, K, Cg, BG * S, N)      # G == rows: expansion is a no-op
+    A_seg = jnp.repeat(A_full, S, axis=0)
+    D_seg = jnp.repeat(D_full, S, axis=0)
+    dts, us, Bs, Cs = (_seg_rows(t, S) for t in (dt2, u2, B2, C2))
+
+    h0 = jnp.zeros((BG * S, N, Cg), jnp.float32)
+    hend = _carry_core(dts, us, Bs, A_seg, h0, sdims, delta_softplus,
+                       interpret).reshape(BG, S, N, Cg)
+    csum, _ = _seg_csums(dt2, S, delta_softplus)
+    P = jnp.exp(csum[:, :, None, :] * A_full[:, None])      # (BG, S, N, Cg)
+
+    def op(a, b):  # compose "apply a then b": h -> Pb (Pa h + ha) + hb
+        Pa, ha = a
+        Pb, hb = b
+        return Pa * Pb, Pb * ha + hb
+
+    _, Hinc = jax.lax.associative_scan(op, (P, hend), axis=1)
+    Hprev = jnp.pad(Hinc[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    y = _fwd_core(dts, us, Bs, Cs, A_seg, D_seg, sdims, delta_softplus,
+                  interpret, h0=Hprev.reshape(BG * S, N, Cg))
+    return y.reshape(BG, L, Cg), Hprev
+
+
+def _bwd_segmented(dt2, u2, B2, C2, dy2, A_full, dims, S,
+                   delta_softplus, interpret):
+    BG, L, Cg, _, N = dims
+    K = L // S
+    sdims = (BG * S, K, Cg, BG * S, N)
+    A_seg = jnp.repeat(A_full, S, axis=0)
+    dts, us, Bs, Cs, dys = (_seg_rows(t, S)
+                            for t in (dt2, u2, B2, C2, dy2))
+
+    # forward carries (recomputed; natural-sized)
+    h0 = jnp.zeros((BG * S, N, Cg), jnp.float32)
+    hend = _carry_core(dts, us, Bs, A_seg, h0, sdims, delta_softplus,
+                       interpret).reshape(BG, S, N, Cg)
+    csum, cfirst = _seg_csums(dt2, S, delta_softplus)
+    Af = A_full[:, None]                                    # (BG, 1, N, Cg)
+    P = jnp.exp(csum[:, :, None, :] * Af)
+
+    def fwd_op(a, b):
+        Pa, ha = a
+        Pb, hb = b
+        return Pa * Pb, Pb * ha + hb
+
+    _, Hinc = jax.lax.associative_scan(fwd_op, (P, hend), axis=1)
+    Hprev = jnp.pad(Hinc[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+
+    # local adjoint carries and the reverse combine
+    gloc = _adjcarry_core(dts, Cs, dys, A_seg, sdims, delta_softplus,
+                          interpret).reshape(BG, S, N, Cg)
+    cnext = jnp.pad(cfirst[:, 1:], ((0, 0), (0, 1), (0, 0)))  # c at row (s+1)K
+    Q = jnp.exp((csum - cfirst + cnext)[:, :, None, :] * Af)
+
+    def rev_op(a, b):
+        # reverse scan passes (a=suffix-accumulated T_{s+1..}, b=current
+        # T_s); the composed transform applies a FIRST then b:
+        # E -> gb + Qb (ga + Qa E)
+        Qa, ga = a
+        Qb, gb = b
+        return Qb * Qa, gb + Qb * ga
+
+    _, Etrue = jax.lax.associative_scan(rev_op, (Q, gloc), axis=1,
+                                        reverse=True)
+    # segment s's incoming adjoint = true g at row (s+1)K; its a0 = a there
+    g0 = jnp.pad(Etrue[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    a0 = jnp.exp(cnext[:, :, None, :] * Af)
+    a0 = a0.at[:, -1].set(0.0)
+
+    dus, ddt2, dB2, dC2, dA2 = _bwd_core(
+        dts, us, Bs, Cs, dys, A_seg, sdims, delta_softplus, interpret,
+        h0=Hprev.reshape(BG * S, N, Cg), g0=g0.reshape(BG * S, N, Cg),
+        a0=a0.reshape(BG * S, N, Cg))
+    unseg = lambda t: t.reshape(BG, L, t.shape[-1])
+    return (unseg(dus), unseg(ddt2), unseg(dB2), unseg(dC2),
+            jnp.sum(dA2.reshape(BG, S, N, Cg), axis=1))
 
 
 def _regrouped(u, delta, A, Bmat, Cmat, delta_bias):
@@ -410,8 +704,15 @@ def _forward_impl(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
         u, delta, A, Bmat, Cmat, delta_bias)
     Dv = (D.astype(jnp.float32) if D is not None
           else jnp.zeros((Dch,), jnp.float32)).reshape(G, 1, Cg)
-    y = _fwd_core(dt2, u2, B2, C2, A2, Dv, (B * G, L, Cg, G, N),
-                  delta_softplus, interpret)
+    dims = (B * G, L, Cg, G, N)
+    S = _seg_S(B * G, L)
+    if S > 1:
+        y, _ = _fwd_segmented(dt2, u2, B2, C2, _expand_rows(A2, G, B * G),
+                              _expand_rows(Dv, G, B * G), dims, S,
+                              delta_softplus, interpret)
+    else:
+        y = _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus,
+                      interpret)
     y = (y.reshape(B, G, L, Cg).transpose(0, 2, 1, 3).reshape(B, L, Dch))
     return y.astype(u.dtype)
 
@@ -440,9 +741,15 @@ def _fused_bwd(delta_softplus, interpret, res, gy):
         u, delta, A, Bmat, Cmat, delta_bias)
     dy2 = regroup(gy.astype(jnp.float32))
 
-    dus, ddt2, dB2, dC2, dA2 = _bwd_core(
-        dt2, u2, B2, C2, dy2, A2, (B * G, L, Cg, G, N), delta_softplus,
-        interpret)
+    dims = (B * G, L, Cg, G, N)
+    S = _seg_S(B * G, L)
+    if S > 1:
+        dus, ddt2, dB2, dC2, dA2 = _bwd_segmented(
+            dt2, u2, B2, C2, dy2, _expand_rows(A2, G, B * G), dims, S,
+            delta_softplus, interpret)
+    else:
+        dus, ddt2, dB2, dC2, dA2 = _bwd_core(
+            dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret)
 
     def ungroup(t):  # (B*G, L, Cg) -> (B, L, Dch)
         return (t.reshape(B, G, L, Cg).transpose(0, 2, 1, 3)
@@ -512,8 +819,15 @@ def _grouped_forward(xs, dts, A, Bs, Cs, D, delta_bias, delta_softplus,
         xs, dts, A, Bs, Cs, delta_bias)
     Dv = (D.astype(jnp.float32) if D is not None
           else jnp.zeros((K * Dk,), jnp.float32)).reshape(K, 1, Dk)
-    y = _fwd_core(dt2, u2, B2, C2, A2, Dv, (B * K, L, Dk, K, N),
-                  delta_softplus, interpret)
+    dims = (B * K, L, Dk, K, N)
+    S = _seg_S(B * K, L)
+    if S > 1:
+        y, _ = _fwd_segmented(dt2, u2, B2, C2, _expand_rows(A2, K, B * K),
+                              _expand_rows(Dv, K, B * K), dims, S,
+                              delta_softplus, interpret)
+    else:
+        y = _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus,
+                      interpret)
     return y.reshape(B, K, L, Dk).astype(xs.dtype)
 
 
@@ -530,9 +844,15 @@ def _grouped_bwd(delta_softplus, interpret, res, gy):
         xs, dts, A, Bs, Cs, delta_bias)
     dy2 = gy.astype(jnp.float32).reshape(B * K, L, Dk)
 
-    dus, ddt2, dB2, dC2, dA2 = _bwd_core(
-        dt2, u2, B2, C2, dy2, A2, (B * K, L, Dk, K, N), delta_softplus,
-        interpret)
+    dims = (B * K, L, Dk, K, N)
+    S = _seg_S(B * K, L)
+    if S > 1:
+        dus, ddt2, dB2, dC2, dA2 = _bwd_segmented(
+            dt2, u2, B2, C2, dy2, _expand_rows(A2, K, B * K), dims, S,
+            delta_softplus, interpret)
+    else:
+        dus, ddt2, dB2, dC2, dA2 = _bwd_core(
+            dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret)
 
     gyf = gy.astype(jnp.float32)
     uf = xs.astype(jnp.float32)

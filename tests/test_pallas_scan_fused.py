@@ -104,3 +104,91 @@ def test_fused_multi_chunk_grad():
                                        rtol=2e-4, atol=2e-4, err_msg=name)
     finally:
         sf._pick_chunk, sf._pick_chunk_bwd = orig_f, orig_b
+
+
+def test_segmented_two_level_matches_reference():
+    """The two-level long-L path (per-segment parallel walks + XLA combine
+    + seeded emit/adjoint kernels) == the associative-scan oracle, forward
+    and all 7 input grads. Segmentation forced at small L via the module
+    thresholds."""
+    from smow_net_tpu.ops.pallas import scan_fused as sf
+
+    b, L, Dch, N, G = 2, 128, 32, 8, 2
+    u, delta, A, B, C, D, db = _inputs(11, b, L, Dch, N, G, True, True)
+    old = (sf._SEG_MIN_L, sf._SEG_MIN_K, sf._SEG_TARGET_ROWS)
+    try:
+        sf._SEG_MIN_L, sf._SEG_MIN_K, sf._SEG_TARGET_ROWS = 64, 16, 64
+        assert sf._seg_S(b * G, L) > 1
+        ref = selective_scan(u, delta, A, B, C, D, db, True)
+        out = selective_scan_fused(u, delta, A, B, C, D, db, True,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        cot = jnp.asarray(np.random.default_rng(5).normal(
+            size=(b, L, Dch)), jnp.float32)
+
+        def loss(fn):
+            def f(*a):
+                return jnp.sum(fn(*a) * cot)
+            return jax.grad(f, argnums=tuple(range(7)))(
+                u, delta, A, B, C, D, db)
+
+        g_ref = loss(lambda *a: selective_scan(*a, True))
+        g_out = loss(lambda *a: selective_scan_fused(*a, True,
+                                                     interpret=True))
+        names = ["u", "delta", "A", "B", "C", "D", "db"]
+        for nm, gr, go in zip(names, g_ref, g_out):
+            np.testing.assert_allclose(
+                np.asarray(go), np.asarray(gr), rtol=2e-4, atol=2e-4,
+                err_msg=f"grad mismatch for {nm}")
+    finally:
+        sf._SEG_MIN_L, sf._SEG_MIN_K, sf._SEG_TARGET_ROWS = old
+
+
+def test_segmented_grouped_matches_flat():
+    """selective_scan_fused_grouped under forced segmentation == the flat
+    contract on transposed operands (fwd + grads wrt xs/dts)."""
+    from smow_net_tpu.ops.pallas import scan_fused as sf
+    from smow_net_tpu.ops.pallas.scan_fused import selective_scan_fused_grouped
+
+    b, K, L, Dk, N = 1, 2, 128, 16, 8
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(rng.normal(size=(b, K, L, Dk)), jnp.float32)
+    dts = jnp.asarray(rng.normal(size=(b, K, L, Dk)) * 0.5, jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(K * Dk, N)), jnp.float32)) * 0.5
+    Bs = jnp.asarray(rng.normal(size=(b, K, L, N)), jnp.float32)
+    Cs = jnp.asarray(rng.normal(size=(b, K, L, N)), jnp.float32)
+    D = jnp.asarray(rng.normal(size=(K * Dk,)), jnp.float32)
+    db = jnp.asarray(rng.normal(size=(K * Dk,)) * 0.1, jnp.float32)
+
+    u = xs.transpose(0, 2, 1, 3).reshape(b, L, K * Dk)
+    dt = dts.transpose(0, 2, 1, 3).reshape(b, L, K * Dk)
+    Bm = Bs.transpose(0, 2, 1, 3)
+    Cm = Cs.transpose(0, 2, 1, 3)
+    ref = selective_scan(u, dt, A, Bm, Cm, D, db, True)
+    ref = ref.reshape(b, L, K, Dk).transpose(0, 2, 1, 3)
+
+    old = (sf._SEG_MIN_L, sf._SEG_MIN_K, sf._SEG_TARGET_ROWS)
+    try:
+        sf._SEG_MIN_L, sf._SEG_MIN_K, sf._SEG_TARGET_ROWS = 64, 16, 64
+        assert sf._seg_S(b * K, L) > 1
+        out = selective_scan_fused_grouped(xs, dts, A, Bs, Cs, D, db, True,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        g = jax.grad(lambda a, d: jnp.sum(jnp.sin(
+            selective_scan_fused_grouped(a, d, A, Bs, Cs, D, db, True,
+                                         interpret=True))),
+            argnums=(0, 1))(xs, dts)
+        gr = jax.grad(lambda a, d: jnp.sum(jnp.sin(
+            selective_scan(
+                a.transpose(0, 2, 1, 3).reshape(b, L, K * Dk),
+                d.transpose(0, 2, 1, 3).reshape(b, L, K * Dk),
+                A, Bm, Cm, D, db, True).reshape(b, L, K, Dk)
+            .transpose(0, 2, 1, 3))), argnums=(0, 1))(xs, dts)
+        for go, gref in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(go), np.asarray(gref),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        sf._SEG_MIN_L, sf._SEG_MIN_K, sf._SEG_TARGET_ROWS = old
