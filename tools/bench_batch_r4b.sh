@@ -51,6 +51,11 @@ PB_ITERS=10 python tools/profile_breakdown_train.py \
   > artifacts/bench_r04/train_stages.txt 2>&1
 tail -8 artifacts/bench_r04/train_stages.txt
 
+echo "=== segmented-scan A/B $(date +%H:%M:%S)"
+PB_ITERS=10 python tools/probe_seg_scan.py \
+  > artifacts/bench_r04/seg_scan.txt 2>&1
+tail -16 artifacts/bench_r04/seg_scan.txt
+
 echo "=== cd_mamba stage decomposition $(date +%H:%M:%S)"
 PB_ITERS=10 python tools/probe_cdmamba_stages.py \
   > artifacts/bench_r04/cdmamba_stages.txt 2>&1

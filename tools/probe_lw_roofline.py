@@ -96,29 +96,32 @@ def main():
     x0 = r(k(2), (BS, 2, s, s, 16), bf)
     timeit("OFW+tokens fused", FusedOFWTok(), x0)
 
+    from smow_net_tpu.models.smow_net import _lift24_folded
+
     class Decoder(nn.Module):
+        # mirrors SMOWNetLW under the liftfold default: pre-lift pair skips
         @nn.compact
         def __call__(self, f1, f2, f3, f4, x0l):
-            y = max_pool(f4, (2, 2), (2, 2))
+            y = max_pool(_lift24_folded(f4), (2, 2), (2, 2))
             y = ConvTransBlockLW(320, name="C3DT1")(y, False)
-            y = ConvBlockLW(160, name="C3D1")(_cat_folded(y, f4, 4), False)
+            y = ConvBlockLW(160, name="C3D1")((y, f4), False)
             y = ConvTransBlockLW(160, name="C3DT2")(y, False)
-            y = ConvBlockLW(64, name="C3D2")(_cat_folded(y, f3, 4), False)
+            y = ConvBlockLW(64, name="C3D2")((y, f3), False)
             y = ConvTransBlockLW(64, name="C3DT3")(y, False)
-            y = ConvBlockLW(32, name="C3D3")(_cat_folded(y, f2, 4), False)
+            y = ConvBlockLW(32, name="C3D3")((y, f2), False)
             y = ConvTransBlockLW(32, name="C3DT4")(y, False)
-            y = ConvBlockLW(28, name="C3D4")(_cat_folded(y, f1, 4), False)
+            y = ConvBlockLW(28, name="C3D4")((y, f1), False)
             y = ConvTransBlockLW(28, name="C3DT5")(y, False)
-            y = ConvBlockLW(16, name="C3D5")(_cat_folded(y, x0l, 4), False)
+            y = ConvBlockLW(16, name="C3D5")((y, x0l), False)
             return y
 
     # LW backbone taps at 256²: x0 128²x16, f1 64²x24, f2 32²x32, f3 16²x96,
-    # f4 8²x320 (MobileNetV2 stages), all T=4-lifted and folded
-    f1 = r(k(4), (BS, s // 2, s // 2, 4 * 24), bf)
-    f2 = r(k(5), (BS, s // 4, s // 4, 4 * 32), bf)
-    f3 = r(k(6), (BS, s // 8, s // 8, 4 * 96), bf)
-    f4 = r(k(7), (BS, s // 16, s // 16, 4 * 320), bf)
-    x0l = r(k(8), (BS, s, s, 4 * 16), bf)
+    # f4 8²x320 (MobileNetV2 stages), T=2-folded (pre-lift)
+    f1 = r(k(4), (BS, s // 2, s // 2, 2 * 24), bf)
+    f2 = r(k(5), (BS, s // 4, s // 4, 2 * 32), bf)
+    f3 = r(k(6), (BS, s // 8, s // 8, 2 * 96), bf)
+    f4 = r(k(7), (BS, s // 16, s // 16, 2 * 320), bf)
+    x0l = r(k(8), (BS, s, s, 2 * 16), bf)
     timeit("LW decoder folded", Decoder(), f1, f2, f3, f4, x0l)
 
     y = r(k(9), (BS, s, s, 4 * 16), bf)

@@ -47,11 +47,24 @@ def timeit(label, module, *args, method=None):
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
 
     c = jax.jit(loop).lower(*args).compile()
+    try:
+        cost = c.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+        byts = float(cost.get("bytes accessed", float("nan")))
+    except Exception:
+        flops = byts = float("nan")
     float(c(*args))
     t0 = time.perf_counter()
     float(c(*args))
-    ms = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{label:38s} {ms:8.2f} ms", flush=True)
+    dt = time.perf_counter() - t0
+    ms = dt / ITERS * 1e3
+    gb = byts * ITERS / dt / 1e9
+    tf = flops * ITERS / dt / 1e12
+    print(f"{label:38s} {ms:8.2f} ms  {flops/1e9:7.1f} GF {tf:5.1f} TF/s"
+          f" ({tf/197*100:4.1f}%)  {byts/1e6:8.1f} MB {gb:6.0f} GB/s"
+          f" ({gb/819*100:4.1f}%)", flush=True)
 
 
 def main():
