@@ -49,7 +49,8 @@ def main():
     r, k = jax.random.normal, jax.random.PRNGKey
     x1 = r(k(0), (BS, SIZE, SIZE, 3), jnp.bfloat16)
     x2 = r(k(1), (BS, SIZE, SIZE, 3), jnp.bfloat16)
-    for name in ("smow_net", "smow_net_lw"):
+    names = os.environ.get("PB_MODELS", "smow_net,smow_net_lw").split(",")
+    for name in names:
         model = get_model(name)
         variables = model.init(k(2), x1[:1].astype(jnp.float32),
                                x2[:1].astype(jnp.float32), train=False)
