@@ -61,6 +61,39 @@ _VMEM_LIMIT = int(_os.environ.get("SCAN_FUSED_VMEM_LIMIT",
 _BT_CAP = int(_os.environ.get("SCAN_FUSED_BT_CAP", "32768"))
 _STEP = int(_os.environ.get("SCAN_FUSED_STEP", "16"))
 
+# Wide-row programs: the two-level (segmented) path expands BG to BG*S rows
+# and _pick_bt packs up to 128 of them per program — per-program scoped VMEM
+# scales with bt, and the default chunk budgets compiled to a 113.04 MiB
+# scoped request at (rows=256, K=4096, Cg=32, N=16), over the 100 MiB cap
+# (artifacts/bench_r04/seg_scan.txt, first on-chip run). Above
+# _WIDE_ROW_ELEMS per-row elements (= bt*N*Cg; 24576 is the largest tiling
+# proven on chip — change_mamba's bt=16, Cg=96), shrink the chunk budgets so
+# per-program block bytes stay at the proven scale and halve the slab unroll
+# (the unrolled step temporaries are (bt, N, Cg)-sized and grow with bt).
+# Defaults validated by tools/probe_seg_scan.py's on-chip config sweep.
+_WIDE_ROW_ELEMS = int(_os.environ.get("SCAN_FUSED_WIDE_ROW_ELEMS", "24576"))
+_FWD_BUDGET_WIDE = int(_os.environ.get("SCAN_FUSED_FWD_BUDGET_WIDE",
+                                       str(1 << 20)))
+_BWD_BUDGET_WIDE = int(_os.environ.get("SCAN_FUSED_BWD_BUDGET_WIDE",
+                                       str(4 << 20)))
+_STEP_WIDE = int(_os.environ.get("SCAN_FUSED_STEP_WIDE", "8"))
+
+
+def _tiling(BG, L, Cg, N, bwd=False):
+    """(bt, chunk, step) for one kernel call, applying the wide-row budget
+    shrink above the proven per-row element count."""
+    bt = _pick_bt(BG, Cg, N)
+    wide = bt * N * Cg > _WIDE_ROW_ELEMS
+    if bwd:
+        chunk = _pick_chunk_bwd(L, Cg, N, bt,
+                                _BWD_BUDGET_WIDE if wide else 8 << 20)
+    else:
+        chunk = _pick_chunk(L, Cg, bt, _FWD_BUDGET_WIDE if wide else 4 << 20)
+    step = _STEP_WIDE if wide else _STEP
+    while chunk % step:
+        step //= 2
+    return bt, chunk, step
+
 
 def _pick_bt(BG: int, Cg: int, N: int) -> int:
     """How many (batch, group) pairs ride one program. The recurrence's
@@ -355,11 +388,7 @@ def _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus, interpret,
               h0=None):
     """Forward pallas call on grouped (B*G, L, Cg) operands."""
     BG, L, Cg, G, N = dims
-    bt = _pick_bt(BG, Cg, N)
-    chunk = _pick_chunk(L, Cg, bt)
-    step = _STEP
-    while chunk % step:
-        step //= 2
+    bt, chunk, step = _tiling(BG, L, Cg, N)
     # per-group A/D -> per-(batch, group) rows (bg = b*G + g -> index % G)
     # so a bt-tile block spanning groups reads its own rows; KB-scale tiles
     A_full = _expand_rows(A2, G, BG)
@@ -398,11 +427,7 @@ def _fwd_core(dt2, u2, B2, C2, A2, Dv, dims, delta_softplus, interpret,
 def _carry_core(dt2, u2, B2, A_full, h0, dims, delta_softplus, interpret):
     """Per-row final hidden states (no y): pass 1 of the two-level path."""
     BG, L, Cg, G, N = dims
-    bt = _pick_bt(BG, Cg, N)
-    chunk = _pick_chunk(L, Cg, bt)
-    step = _STEP
-    while chunk % step:
-        step //= 2
+    bt, chunk, step = _tiling(BG, L, Cg, N)
     kernel = functools.partial(_carry_kernel, chunk=chunk, step=step,
                                softplus=delta_softplus)
     seq = pl.BlockSpec((bt, chunk, Cg), lambda bg, l: (bg, l, 0),
@@ -429,11 +454,7 @@ def _carry_core(dt2, u2, B2, A_full, h0, dims, delta_softplus, interpret):
 def _adjcarry_core(dt2, C2, dy2, A_full, dims, delta_softplus, interpret):
     """Per-row local adjoint carries (zero incoming): bwd pass 1."""
     BG, L, Cg, G, N = dims
-    bt = _pick_bt(BG, Cg, N)
-    chunk = _pick_chunk(L, Cg, bt)
-    step = _STEP
-    while chunk % step:
-        step //= 2
+    bt, chunk, step = _tiling(BG, L, Cg, N)
     Lc = L // chunk
     kernel = functools.partial(_adjcarry_kernel, chunk=chunk, step=step,
                                softplus=delta_softplus)
@@ -466,11 +487,7 @@ def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret,
     the forward state and the incoming-from-the-right adjoint carry
     (zeros = whole-sequence case)."""
     BG, L, Cg, G, N = dims
-    bt = _pick_bt(BG, Cg, N)
-    chunk = _pick_chunk_bwd(L, Cg, N, bt)
-    step = _STEP
-    while chunk % step:
-        step //= 2
+    bt, chunk, step = _tiling(BG, L, Cg, N, bwd=True)
     Lc = L // chunk
     A_full = _expand_rows(A2, G, BG)
     if h0 is None:

@@ -84,8 +84,8 @@ def test_fused_multi_chunk_grad():
     import smow_net_tpu.ops.pallas.scan_fused as sf
 
     orig_f, orig_b = sf._pick_chunk, sf._pick_chunk_bwd
-    sf._pick_chunk = lambda L, Cg, budget_bytes=0: 16
-    sf._pick_chunk_bwd = lambda L, Cg, N, budget_bytes=0: 16
+    sf._pick_chunk = lambda L, Cg, bt=1, budget_bytes=0: 16
+    sf._pick_chunk_bwd = lambda L, Cg, N, bt=1, budget_bytes=0: 16
     try:
         u, delta, A, B, C, D, db = _inputs(11, 1, 64, 16, 8, 1)
         gy = jnp.asarray(np.random.default_rng(12).normal(size=(1, 64, 16)),
