@@ -109,15 +109,13 @@ def set_flow_folded(v: bool):
     _FLOW_FOLDED = v
 
 
-# Eval-mode classifier fold: the head conv + sigmoid run as the fused
-# cross-attn layer kernel's epilogue (ops/pallas/xattn.
-# cross_layer_head1_sigmoid_pallas). A/B-gated pending the on-chip probe.
-_HEADFUSE = False
-
-
-def set_headfuse(v: bool):
-    global _HEADFUSE
-    _HEADFUSE = v
+# Probed and REMOVED (tools/probe_head_ab.py, whole-model on-chip): an
+# eval-mode classifier fold (head conv + sigmoid as the fused cross-attn
+# kernel's epilogue) LOST on both models — smow_net infer 12.85 -> 13.24
+# ms/b, smow_net_lw 9.72 -> 9.96 (artifacts/bench_r04/head_ab{,_lw}.txt).
+# The separate head conv reads the (B, N, D) tensor XLA already has in
+# flight and fuses with the shuffle; the epilogue instead serialized the
+# classifier matmul into every layer-kernel tile.
 
 
 class OFW(nn.Module):
@@ -316,8 +314,7 @@ class PixelTransformerDecoder(nn.Module):
     folded_input: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, m: jnp.ndarray,
-                 head=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
         perm = None
         if self.folded_input:
             B, H, W, TC = x.shape
@@ -340,7 +337,7 @@ class PixelTransformerDecoder(nn.Module):
             q = x.transpose(0, 2, 3, 4, 1).reshape(B, H * W, C * T)
         q = CrossTransformerLayer(
             self.in_chan, self.heads, dim_head=1, mlp_dim=self.in_chan * 2, name="layer0"
-        )(q, m, perm=perm, head=head)
+        )(q, m, perm=perm)
         return q.reshape(B, H, W, q.shape[-1])
 
 
@@ -538,18 +535,10 @@ class SMOWNet(nn.Module):
         y = ConvTransBlock3d(32, name="C3DT5")(y, train)
         y = ConvBlock23d(32, name="C3D5")((y, x0), train)
 
-        # classifier declared layout-free so both head paths share the
-        # `classifier_conv/kernel` param (shape == Conv(4, 1)'s)
+        # classifier declared layout-free (ConvParams) so the torch
+        # converter sees the same `classifier_conv/kernel` tree as Conv(4, 1)
         kc, _ = ConvParams((1, 1, 128, 4), use_bias=False,
                            name="classifier_conv")()
-        if not train and _HEADFUSE:
-            # eval: classifier matmul + sigmoid folded into the fused
-            # cross-attn layer kernel's epilogue (only the (B, N, 4) map is
-            # ever written); sigmoid-before-shuffle as below
-            y = PixelTransformerDecoder(128, folded_input=True,
-                                        name="Transformer_Decoder")(
-                y, tokens, head=kc[0, 0].astype(y.dtype))
-            return smow_shuffle(y, 2)
         y = PixelTransformerDecoder(128, folded_input=True,
                                     name="Transformer_Decoder")(y, tokens)
         y = convops.conv(y, kc.astype(y.dtype))

@@ -189,17 +189,8 @@ class SMOWNetLW(nn.Module):
         y = ConvTransBlockLW(28, name="C3DT5")(y, train)
         y = ConvBlockLW(16, name="C3D5")((y, x0f), train)
 
-        from . import smow_net as _sm
-
         kc, _ = ConvParams((1, 1, 64, 4), use_bias=False,
                            name="classifier_conv")()
-        if not train and _sm._HEADFUSE:
-            # eval: classifier + sigmoid folded into the fused cross-attn
-            # kernel epilogue (see smow_net.py)
-            y = PixelTransformerDecoder(64, folded_input=True,
-                                        name="Transformer_Decoder")(
-                y, tokens, head=kc[0, 0].astype(y.dtype))
-            return smow_shuffle(y, 2)
         y = PixelTransformerDecoder(64, folded_input=True,
                                     name="Transformer_Decoder")(y, tokens)
         y = convops.conv(y, kc.astype(y.dtype))

@@ -344,18 +344,18 @@ class CrossTransformerLayer(nn.Module):
     mlp_dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, m: jnp.ndarray, perm=None,
-                 head=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, m: jnp.ndarray,
+                 perm=None) -> jnp.ndarray:
         if self.dim_head == 1:
             # dim_head=1 hot path: raw-param route so the fused TPU kernel
             # (ops/pallas/xattn.py) can absorb the WHOLE layer — LN1,
             # projections, softmax, residual, LN2, MLP, residual — in one
-            # HBM pass; param tree unchanged. With `head` (D, Co): the
-            # classifier matmul + sigmoid run as the kernel's epilogue and
-            # the (B, N, Co) map is returned instead of the layer output
-            # (eval-only fold — forward has no VJP).
-            from ..ops.xattn import (cross_layer_head1_auto,
-                                     cross_layer_head1_sigmoid_auto)
+            # HBM pass; param tree unchanged. (An eval-time classifier-fold
+            # epilogue variant was probed on chip and LOST at whole-model
+            # scale on both models — smow_net 12.85 -> 13.24 ms/b, LW 9.72
+            # -> 9.96; artifacts/bench_r04/head_ab{,_lw}.txt — and was
+            # removed.)
+            from ..ops.xattn import cross_layer_head1_auto
 
             g1, b1 = LayerNormParams(name="norm1")(self.dim)
             wq, wk, wv, wo, bo = CrossAttnParams(
@@ -370,14 +370,9 @@ class CrossTransformerLayer(nn.Module):
                    * g1 + b1).astype(dt)
             k = jnp.matmul(m_n, wk.astype(dt))
             v = jnp.matmul(m_n, wv.astype(dt))
-            if head is not None:
-                return cross_layer_head1_sigmoid_auto(
-                    x, g1, b1, wq, k, v, wo, bo, g2, b2, w1, bb1, w2, bb2,
-                    head, scale=self.dim ** -0.5, perm=perm)
             return cross_layer_head1_auto(
                 x, g1, b1, wq, k, v, wo, bo, g2, b2, w1, bb1, w2, bb2,
                 scale=self.dim ** -0.5, perm=perm)
-        assert head is None, "head folding only on the dim_head=1 path"
         assert perm is None, "perm folding only on the dim_head=1 path"
         norm = layer_norm(name="norm1")
         x = CrossAttentionBlock(self.dim, self.heads, self.dim_head, name="attn")(

@@ -51,8 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["cross_attn_head1_pallas", "xattn_supported",
-           "cross_layer_head1_pallas", "xlayer_supported",
-           "cross_layer_head1_sigmoid_pallas"]
+           "cross_layer_head1_pallas", "xlayer_supported"]
 
 _TILE_N = int(__import__("os").environ.get("XATTN_TILE", "512"))
 _TILE_N_BWD = 256
@@ -379,24 +378,6 @@ def _layer_fwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
     out_ref[0] = (y2 + b2_ref[...].astype(jnp.float32) + y1).astype(out_ref.dtype)
 
 
-def _layer_fwd_head_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref,
-                           bo_ref, perm_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                           wc_ref, out_ref, *, eps: float, has_perm: bool):
-    """Forward layer kernel with the classifier epilogue folded in: the
-    (TN, D) layer output never leaves VMEM — only sigmoid(y @ wc), a
-    (TN, Co<=8) map, is written to HBM (Co=4 kills a 32x write + re-read
-    of the 16k-pixel tensor plus the whole separate head stage)."""
-    (x, x32, mu1, r1, q, e, den, o, y1, mu2, r2, hpre, hg,
-     prec) = _layer_core(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref,
-                         bo_ref, perm_ref, w1_ref, b1_ref,
-                         eps=eps, has_perm=has_perm)
-    dt = x.dtype
-    y2 = _dot(hg.astype(dt), w2_ref[...].astype(dt), ((1,), (0,)), prec)
-    yf = y2 + b2_ref[...].astype(jnp.float32) + y1
-    z = _dot(yf.astype(dt), wc_ref[...].astype(dt), ((1,), (0,)), prec)
-    out_ref[0] = (1.0 / (1.0 + jnp.exp(-z))).astype(out_ref.dtype)
-
-
 def _layer_bwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
                       perm_ref, w1_ref, b1_ref, w2_ref, g_ref,
                       dx_ref, dwq_ref, dbq_ref, dk_ref, dvg_ref, dwo_ref,
@@ -509,37 +490,6 @@ def _run_layer_fwd(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2)
-
-
-def cross_layer_head1_sigmoid_pallas(x, wq_eff, bq_eff, k_exp, vg_exp,
-                                     w_out, b_out, perm, w1_eff, b1_eff,
-                                     w2, b2, wc, eps: float = 1e-5,
-                                     has_perm: bool = True,
-                                     interpret: bool = False):
-    """cross_layer_head1_pallas with a fused classifier epilogue:
-    returns sigmoid(layer(x) @ wc), shape (B, N, Co). FORWARD-ONLY (no
-    VJP) — the eval-mode head fold; training keeps the separate conv."""
-    B, N, D = x.shape
-    h = wq_eff.shape[1]
-    hm = k_exp.shape[-1]
-    hid = w1_eff.shape[1]
-    Co = wc.shape[1]
-    kernel = functools.partial(_layer_fwd_head_kernel, eps=eps,
-                               has_perm=has_perm)
-    const, _, tile_s, ins = _layer_specs(B, N, D, h, hm, hid, _TILE_L)
-    out_s = pl.BlockSpec((1, _TILE_L, Co), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(B, N // _TILE_L),
-        in_specs=ins + [const(D, Co)],
-        out_specs=out_s,
-        out_shape=jax.ShapeDtypeStruct((B, N, Co), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(x, wq_eff, bq_eff, k_exp, vg_exp, w_out, b_out, perm, w1_eff, b1_eff,
-      w2, b2, wc)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["cross_attn_head1", "cross_attn_head1_auto", "cross_layer_head1",
-           "cross_layer_head1_auto", "cross_layer_head1_sigmoid_auto",
+           "cross_layer_head1_auto",
            "set_xattn_impl"]
 
 _IMPL = "auto"
@@ -137,47 +137,6 @@ def cross_layer_head1_auto(x, ln1_scale, ln1_bias, wq, k, v, w_out, b_out,
     return cross_layer_head1_pallas(
         x, wq_eff, bq_eff, k_exp, vg_exp, w_out, b_out[None, :], perm_in,
         w1_eff, b1_eff, w2, b2[None, :], eps, has_perm, _INTERPRET)
-
-
-def cross_layer_head1_sigmoid_auto(x, ln1_scale, ln1_bias, wq, k, v, w_out,
-                                   b_out, ln2_scale, ln2_bias, w1, b1, w2,
-                                   b2, wc, *, scale, perm=None, eps=1e-5):
-    """Full decoder layer with the classifier head + sigmoid folded into
-    the kernel epilogue: returns sigmoid(layer(x) @ wc) (B, N, Co).
-    FORWARD-ONLY on the Pallas route (eval path; train keeps the separate
-    head so the layer's custom VJP applies)."""
-    from .pallas.xattn import (cross_layer_head1_sigmoid_pallas,
-                               xlayer_supported)
-
-    B, N, Dm = x.shape
-    M, h = k.shape[1], k.shape[2]
-    hidden = w1.shape[1]
-    impl = _IMPL
-    if impl == "auto":
-        impl = "pallas" if (jax.default_backend() == "tpu"
-                            and xlayer_supported(N, Dm, h, M, hidden)) else "xla"
-    if impl == "pallas" and not xlayer_supported(N, Dm, h, M, hidden):
-        impl = "xla"
-    if impl == "xla":
-        y = cross_layer_head1(
-            x, ln1_scale, ln1_bias, wq, k, v, w_out, b_out,
-            ln2_scale, ln2_bias, w1, b1, w2, b2,
-            scale=scale, perm=perm, eps=eps)
-        return jax.nn.sigmoid(jnp.matmul(y.astype(jnp.float32),
-                                         wc.astype(jnp.float32))).astype(x.dtype)
-    wq_eff, bq_eff = _fold_q(ln1_scale, ln1_bias, wq, perm)
-    k_exp, v_exp = _expansions(k, v, scale)
-    sel = jnp.repeat(jnp.eye(h, dtype=v_exp.dtype), M, axis=1)
-    vg_exp = jnp.concatenate(
-        [v_exp, jnp.broadcast_to(sel.T[None], v_exp.shape)], axis=-1)
-    w1_eff = ln2_scale[:, None] * w1
-    b1_eff = (ln2_bias @ w1 + b1)[None, :]
-    has_perm = perm is not None
-    perm_in = (perm if has_perm else jnp.zeros((Dm, Dm), x.dtype))
-    return cross_layer_head1_sigmoid_pallas(
-        x, wq_eff, bq_eff, k_exp, vg_exp, w_out, b_out[None, :], perm_in,
-        w1_eff, b1_eff, w2, b2[None, :], wc.astype(x.dtype), eps, has_perm,
-        _INTERPRET)
 
 
 def cross_attn_head1_auto(x, ln_scale, ln_bias, wq, k, v, w_out, b_out, *,

@@ -297,31 +297,6 @@ def test_flow_folded_matches_5d():
                                    rtol=2e-3, atol=2e-4)
 
 
-def test_headfuse_matches_separate_head():
-    """Eval classifier fold (head into the xattn epilogue) == separate
-    conv+sigmoid, for both flagship and LW, with identical param trees."""
-    from smow_net_tpu.models import smow_net as sm
-    from smow_net_tpu.models.smow_net_lw import SMOWNetLW
-
-    r, k = jax.random.normal, jax.random.PRNGKey
-    x1 = r(k(0), (1, 64, 64, 3), jnp.float32)
-    x2 = r(k(1), (1, 64, 64, 3), jnp.float32)
-    for model in (SMOWNet(), SMOWNetLW()):
-        v = model.init(k(2), x1, x2, train=False)
-        try:
-            sm.set_headfuse(False)
-            ref = model.apply(v, x1, x2, train=False)
-            sm.set_headfuse(True)
-            assert (jax.tree_util.tree_structure(
-                model.init(k(2), x1, x2, train=False))
-                == jax.tree_util.tree_structure(v))
-            out = model.apply(v, x1, x2, train=False)
-        finally:
-            sm.set_headfuse(False)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
-
-
 def test_convblock_lw_pair_liftfold_equivalence():
     """ConvBlockLW pair form: split skip contraction (narrow stages) with
     the lift composed into the skip kernel == concat of the lifted skip."""

@@ -170,24 +170,6 @@ def test_bf16_fwd_close(
                                rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("use_perm", [False, True])
-def test_layer_sigmoid_head_matches_xla(use_perm):
-    """The classifier-fold epilogue kernel (sigmoid(layer(x) @ wc)) vs the
-    portable composition."""
-    args = _layer_inputs(11)
-    wc = jax.random.normal(jax.random.PRNGKey(20), (D, 4), jnp.float32) * 0.1
-    perm = _perm() if use_perm else None
-    xattn.set_xattn_impl("xla")
-    ref = xattn.cross_layer_head1_sigmoid_auto(
-        *args, wc, scale=D ** -0.5, perm=perm)
-    xattn.set_xattn_impl("pallas", interpret=True)
-    out = xattn.cross_layer_head1_sigmoid_auto(
-        *args, wc, scale=D ** -0.5, perm=perm)
-    assert out.shape == (B, N, 4)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=3e-5, atol=3e-5)
-
-
 def test_layer_supported_at_lw_width():
     """D=64 (the LW decoder) must route to the fused kernel and agree with
     the portable path (the r3 gate d % 128 silently excluded it)."""

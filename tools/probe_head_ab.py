@@ -1,11 +1,12 @@
-"""Whole-model inference A/B of the eval classifier fold (head conv +
-sigmoid into the fused xattn kernel epilogue, models/smow_net.set_headfuse)
-and the OFW folded-flow lowering (set_flow_folded), at bench shapes
-(bs16 256² bf16) for smow_net and smow_net_lw.
+"""Whole-model inference A/B of the OFW folded-flow lowering
+(models/smow_net.set_flow_folded) at bench shapes (bs16 256² bf16) for
+smow_net and smow_net_lw.
 
-Also the first on-TPU engagement of the fused layer kernel at D=64 (LW) —
-the r3 support gate excluded it, so LW rows double as its parity/perf check
-(numeric parity asserted against the XLA route on the first iteration).
+Verdicts recorded (artifacts/bench_r04/head_ab{,_lw}.txt): flow-fold WINS
+whole-model on both (smow_net 12.85 -> 12.58 ms/b, LW 9.72 -> 9.51) —
+default ON. The same probe also measured the eval classifier-fold epilogue
+(headfuse), which LOST on both (smow_net 13.24, LW 9.96 ms/b) and was
+removed (see models/smow_net.py).
 
 Usage: PB_ITERS=20 python tools/probe_head_ab.py
 """
@@ -58,26 +59,21 @@ def main():
             lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
             variables)
         # numeric cross-check of the folded eval path (bf16 tolerance)
-        sm.set_headfuse(False)
         sm.set_flow_folded(False)
         ref = model.apply(variables, x1[:2], x2[:2], train=False)
-        sm.set_headfuse(True)
         sm.set_flow_folded(True)
         out = model.apply(variables, x1[:2], x2[:2], train=False)
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                     - ref.astype(jnp.float32))))
-        print(f"{name}: headfuse+flowfold max abs err vs baseline = {err:.3e}",
+        print(f"{name}: flowfold max abs err vs baseline = {err:.3e}",
               flush=True)
         assert err < 0.05, err
 
-        for hf, ff in ((False, False), (True, False), (False, True),
-                       (True, True), (False, False), (True, True)):
-            sm.set_headfuse(hf)
+        for ff in (False, True, False, True):
             sm.set_flow_folded(ff)
-            bench_model(f"{name} infer [head={int(hf)} flow={int(ff)}]",
+            bench_model(f"{name} infer [flow={int(ff)}]",
                         model, variables, x1, x2)
-    sm.set_headfuse(False)
-    sm.set_flow_folded(False)
+    sm.set_flow_folded(True)
 
 
 if __name__ == "__main__":
