@@ -577,7 +577,17 @@ def _bwd_core(dt2, u2, B2, C2, dy2, A2, dims, delta_softplus, interpret,
 # All cross-segment objects are (BG, S, N, Cg) — KBs, never L-sized.
 # ---------------------------------------------------------------------------
 
-_SEG_MIN_L = int(_os.environ.get("SCAN_SEG_MIN_L", "16384"))
+# Default OFF (sentinel): the on-chip sweep at cd_mamba's dominant shapes
+# (tools/probe_seg_scan.py, artifacts/bench_r04/seg_scan_sweep.txt) says the
+# two-level path LOSES at every compiling tiling — enc0 (BG=16, L=65536)
+# infer 15.39 ms seq vs 19.8-21.3 seg, train 52.2 vs 59.5-62.5; enc1
+# likewise. With bt-tiled rows the recurrence is VPU-THROUGHPUT-bound, not
+# row-loop-overhead-bound, so the segmented form's second full-L pass (+
+# combine) is pure extra element work. The machinery stays (correct,
+# tested, and the sweep doubles as the cd_mamba scan-ceiling evidence);
+# set SCAN_SEG_MIN_L to re-enable for genuinely loop-bound shapes
+# (BG*bt small at huge L).
+_SEG_MIN_L = int(_os.environ.get("SCAN_SEG_MIN_L", str(1 << 30)))
 _SEG_TARGET_ROWS = int(_os.environ.get("SCAN_SEG_TARGET_ROWS", "256"))
 _SEG_MIN_K = int(_os.environ.get("SCAN_SEG_MIN_K", "2048"))
 
