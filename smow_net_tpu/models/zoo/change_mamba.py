@@ -23,6 +23,16 @@ from ...ops.resize import resize_linear
 
 __all__ = ["ChangeMamba"]
 
+# Siamese-encode batching A/B (see the call site): True = one (2B)-batched
+# encoder pass, False = two sequential passes (the reference's structure).
+_ENC_2B = True
+
+
+def set_enc_2b(v: bool):
+    global _ENC_2B
+    _ENC_2B = v
+
+
 
 class ResBlock(nn.Module):
     features: int
@@ -61,13 +71,18 @@ class ChangeMamba(nn.Module):
         encoder = VSSM(self.depths, self.dims, drop_path_rate=self.drop_path_rate,
                        patchembed_version="v2", downsample_version="v2",
                        use_checkpoint=self.use_checkpoint, name="encoder")
-        # Siamese encode as ONE 2B-batched pass: the VSSM is LayerNorm-only
-        # (no batch-coupled stats), so this is numerically exact and gives the
-        # scan kernel 2x the (batch, group) rows to tile per call.
-        B = pre.shape[0]
-        feats = encoder(jnp.concatenate([pre, post], axis=0), train)
-        f_pre = [f[:B] for f in feats]
-        f_post = [f[B:] for f in feats]
+        # Siamese encode: the VSSM is LayerNorm-only (no batch-coupled
+        # stats), so a single (2B)-batched pass is numerically exact —
+        # A/B-toggled (tools/probe_mamba_2b.py; the r3 change measured
+        # vs_baseline 0.992-0.976 on this model, i.e. neutral-to-negative).
+        if _ENC_2B:
+            B = pre.shape[0]
+            feats = encoder(jnp.concatenate([pre, post], axis=0), train)
+            f_pre = [f[:B] for f in feats]
+            f_post = [f[B:] for f in feats]
+        else:
+            f_pre = encoder(pre, train)
+            f_post = encoder(post, train)
 
         def level(i, a, b):
             B, H, W, C = a.shape

@@ -20,6 +20,16 @@ from ...ops.resize import resize_linear, resize_nearest
 
 __all__ = ["RSMCD"]
 
+# Siamese-encode batching A/B (see the call site): True = one (2B)-batched
+# encoder pass, False = two sequential passes (the reference's structure).
+_ENC_2B = True
+
+
+def set_enc_2b(v: bool):
+    global _ENC_2B
+    _ENC_2B = v
+
+
 
 class RSMCD(nn.Module):
     depths: tuple = (2, 2, 9, 2)
@@ -81,13 +91,19 @@ class RSMCD(nn.Module):
                 feats.append(v)
             return feats
 
-        # Siamese encode as ONE 2B-batched pass: the encoder is LayerNorm-only
-        # (no batch-coupled stats), so this is numerically exact and gives the
-        # scan kernel 2x the (batch, group) rows to tile per call.
-        B = x1.shape[0]
-        f12 = encode(jnp.concatenate([x1, x2], axis=0))
-        f1 = [f[:B] for f in f12]
-        f2 = [f[B:] for f in f12]
+        # Siamese encode: the encoder is LayerNorm-only (no batch-coupled
+        # stats), so a single (2B)-batched pass is numerically exact —
+        # A/B-toggled (tools/probe_mamba_2b.py): the r3 change shipped
+        # unbenched for this model and the r4 re-records came in BELOW the
+        # pre-change baseline (infer 97.7 vs 109.5).
+        if _ENC_2B:
+            B = x1.shape[0]
+            f12 = encode(jnp.concatenate([x1, x2], axis=0))
+            f1 = [f[:B] for f in f12]
+            f2 = [f[B:] for f in f12]
+        else:
+            f1 = encode(x1)
+            f2 = encode(x2)
 
         def fuse(i, a, b):
             y = Conv(dims[i], 1, use_bias=False, name=f"fuse_block{i + 1}")(
