@@ -69,10 +69,24 @@ _TILE_P_BWD = 128
 # forward kernel gains ~10% at 1024 too.
 
 
+# A/B override for _pick_tile (tools/probe_token_tile_lw.py): at the LW
+# warp shapes (W*C = 2048) the 24 MB budget lands tile 512, and pixel-tile
+# size is a first-order effect at these channel counts (CLAUDE.md r3
+# lesson). None = use the budget.
+_TILE_FORCE = None
+
+
+def set_tile_force(v):
+    global _TILE_FORCE
+    _TILE_FORCE = v
+
+
 def _pick_tile(P: int, wc: int, floor: int) -> int:
     """Largest pixel tile <= 1024 dividing P whose ~4 (W*C, tile) fp32
     temporaries stay within ~24 MB of VMEM (the image block, index rows and
     pipelining head-room take the rest of the 48 MB limit)."""
+    if _TILE_FORCE is not None and P % _TILE_FORCE == 0:
+        return _TILE_FORCE
     cap = max(floor, (24 * 1024 * 1024) // (wc * 4 * 4))
     t = 128
     while t * 2 <= min(cap, 1024) and P % (t * 2) == 0:
