@@ -69,10 +69,12 @@ _TILE_P_BWD = 128
 # forward kernel gains ~10% at 1024 too.
 
 
-# A/B override for _pick_tile (tools/probe_token_tile_lw.py): at the LW
-# warp shapes (W*C = 2048) the 24 MB budget lands tile 512, and pixel-tile
-# size is a first-order effect at these channel counts (CLAUDE.md r3
-# lesson). None = use the budget.
+# A/B override for _pick_tile (tools/probe_token_tile_lw.py). Verdict at
+# the LW warp shapes (W*C = 2048, where the 24 MB budget lands tile 512):
+# NULL — stage 4.26-4.51 ms and whole-model LW infer 1698-1715 pairs/s
+# with tile 512 and 1024 alike (artifacts/bench_r04/token_tile_lw.txt);
+# the r3 first-order sensitivity is specific to W*C<=1024, so the budget
+# stands. None = use the budget.
 _TILE_FORCE = None
 
 
