@@ -113,20 +113,23 @@ def bench_train(model):
     b = x2.astype(compute_dtype) if compute_dtype is not None else x2
 
     def train_loop(params, opt_state, batch_stats, a, b, gt):
-        def loss_fn(p, stats, a):
+        def loss_fn(p, stats, a, rng):
             if compute_dtype is not None:
                 p = jax.tree_util.tree_map(lambda w: w.astype(compute_dtype), p)
             out, mut = model.apply(
                 {"params": p, "batch_stats": stats}, a, b,
                 train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(7)})
+                rngs={"dropout": rng})
             pred = select_pred(out).astype(jnp.float32)
             return bce_dice_loss(pred, gt), mut["batch_stats"]
 
-        def step(carry, _):
+        def step(carry, i):
             params, opt_state, stats, a = carry
+            # per-step dropout key, same as train/trainer.py's folding (a
+            # fixed key would bench a slightly unrepresentative program)
+            rng = jax.random.fold_in(jax.random.PRNGKey(7), i)
             (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, stats, a)
+                params, stats, a, rng)
             if compute_dtype is not None:
                 grads = jax.tree_util.tree_map(
                     lambda g: g.astype(jnp.float32), grads)
@@ -139,7 +142,7 @@ def bench_train(model):
             return (params, opt_state, stats, a), loss
 
         (params, opt_state, stats, a), losses = jax.lax.scan(
-            step, (params, opt_state, batch_stats, a), None, length=ITERS)
+            step, (params, opt_state, batch_stats, a), jnp.arange(ITERS))
         return losses, jnp.sum(losses)
 
     compiled = jax.jit(train_loop).lower(
@@ -177,7 +180,10 @@ def main():
         repo, f"BENCH_BASELINE{tag}.json" if MODEL == "smow_net"
         else f"baselines/BENCH_BASELINE_{MODEL}{tag}.json")
     baseline = None
-    if os.path.exists(baseline_file):
+    # Baselines are recorded at each model's canonical batch; comparing a
+    # different-batch run (e.g. the reference's batch-1 eval protocol,
+    # test.py:48-49) against them is meaningless — skip via BENCH_NO_BASELINE.
+    if os.path.exists(baseline_file) and not os.environ.get("BENCH_NO_BASELINE"):
         try:
             baseline = json.load(open(baseline_file)).get("value")
         except Exception:
@@ -190,6 +196,7 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(vs, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "batch": BATCH,
     }))
 
 

@@ -268,18 +268,16 @@ def ofw_tokens_fused(ofw: OFW, tenc: TokenTransformerEncoder, x: jnp.ndarray,
     # Frames 1,2: warp -> exp -> scatter. Backend chosen by measurement
     # (tools/probe_token_ab.py on-chip, artifacts/bench_r03/token_ab.txt):
     #   infer: fused single Pallas kernel 2.93 ms vs unfused 3.57 -> FUSED
-    #   train: unfused 2-kernel chain 7.90 ms vs fused 9.27 -> UNFUSED
-    # (the fused bwd rebuilds every one-hot mask for three temporaries; the
-    # unfused chain's two bwd kernels pipeline better at W*C=1024).
+    #   train: routed via ops.warp.token_softmax_scatter_train — the r4 A/B
+    #   picked the unfused 2-kernel chain over fused-both-ways (7.90 vs
+    #   9.27; the monolithic bwd pipelines worse at W*C=1024); round 5 adds
+    #   the hybrid fused-fwd + split-bwd lowering, A/B'd the same way.
     stopmax = lambda v: v - jax.lax.stop_gradient(
         jnp.max(v.reshape(B * 2, n, L), axis=1)).reshape(B * 2, 1, 1, L)
     if train:
-        from ..ops.warp import flow_warp, flow_warp_transpose
+        from ..ops.warp import token_softmax_scatter_train
 
-        aw = flow_warp(a, fb)
-        eaw = jnp.exp(stopmax(aw))
-        zaw = jnp.sum(eaw.reshape(B * 2, n, L), axis=1)
-        ew = flow_warp_transpose(eaw, fb)
+        ew, zaw = token_softmax_scatter_train(a, fb)
     else:
         ew, zaw = token_softmax_scatter(a, fb)
     ew = ew.reshape(B, 2, n, L)

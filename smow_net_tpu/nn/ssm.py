@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.cross_scan import (cross_merge, cross_merge8, cross_merge_1d,
                               cross_merge_2d, cross_scan, cross_scan8,
-                              cross_scan_1d, cross_scan_2d)
+                              cross_scan_1b1, cross_scan_1d, cross_scan_2d)
 from ..ops.scan import cross_selective_scan
 from ..utils import torch_init
 from .layers import Conv, Dense, gelu
@@ -71,7 +71,24 @@ class SS2D(nn.Module):
     single TPU scan primitive, which always carries the recurrence in fp32
     (ops/pallas/scan_fused.py). The genuine *math* ablations v31d/v32d
     (1-/2-direction CrossScan, compare/vmamba.py:73-137) are selected here
-    with `scan_variant="1d"|"2d"` (k_group=4 only)."""
+    with `scan_variant="1d"|"2d"` (k_group=4 only).
+
+    The `xv` forward family (reference `__initxv__`/`forwardxv`,
+    compare/vmamba.py:824-1067,1181-1304) is selected with
+    `forward_type="xv1a"|"xv2a"|"xv3a"` plus the reference's postfixes
+    (`act` = GELU out-act, `mul` = multiply by the pre-scan u, out-norm
+    postfixes `none`/`dwconv3`/`softmax`/`sigmoid`, `no32` = ignored — the
+    TPU kernel always carries the recurrence in fp32): a z-gate-free
+    variant where ONE input projection emits u, dt (rank / full-channel /
+    per-direction) and per-direction B,C routed through the one-by-one
+    cross-scan (CrossScanTriton1b1). Only the live `*a` modes are
+    implemented — the reference's xv1/xv2/xv3/xv5/xv6/xv61/xv7 inits sit
+    in an `if False:` block (vmamba.py:902-942) and cannot be constructed.
+    The non-LayerNorm out-norm postfixes follow the channel-first
+    semantics (spatial softmax / depthwise conv over the (H, W) map) —
+    the reference's channel-last composition of those norms applies them
+    to permuted axes and is shape-inconsistent (vmamba.py:1292-1297), a
+    latent bug we do not reproduce."""
 
     d_model: int
     d_state: int = 16
@@ -83,9 +100,12 @@ class SS2D(nn.Module):
     k_group: int = 4
     dropout: float = 0.0
     scan_variant: str = "cross"  # cross | 1d | 2d (v2 / v31d / v32d)
+    forward_type: str = "v2"  # v2-family (default) | xv{1,2,3}a[+postfixes]
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.forward_type.startswith("xv"):
+            return self._forward_xv(x, train)
         B, H, W, _ = x.shape
         Di = int(self.ssm_ratio * self.d_model)
         R = math.ceil(self.d_model / 16) if self.dt_rank == "auto" else self.dt_rank
@@ -141,6 +161,96 @@ class SS2D(nn.Module):
         y = y * z
         y = Dense(self.d_model, use_bias=self.bias, kernel_init=torch_init.trunc_normal(0.02),
                   name="out_proj")(y)
+        if self.dropout > 0:
+            y = nn.Dropout(self.dropout, deterministic=not train, name="do")(y)
+        return y
+
+    def _forward_xv(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """forwardxv (reference compare/vmamba.py:1181-1304): dwconv+SiLU on
+        the raw d_model input, one fused in-projection, per-direction B/C via
+        the 1b1 cross-scan, no z gate. Postfix parsing mirrors __initxv__
+        (vmamba.py:869-960): no32, then out-norm tag, then mul, then act."""
+        B, H, W, _ = x.shape
+        Di = int(self.ssm_ratio * self.d_model)
+        R = math.ceil(self.d_model / 16) if self.dt_rank == "auto" else self.dt_rank
+        N = self.d_state
+        K = 4  # k_group is fixed at 4 in __initxv__ (vmamba.py:899)
+
+        ft = self.forward_type
+        if ft.endswith("no32"):
+            ft = ft[: -len("no32")]  # fp32 is unconditional in the TPU kernel
+        out_norm_kind = "ln"
+        for tag in ("none", "dwconv3", "softmax", "sigmoid"):
+            if ft.endswith(tag):
+                out_norm_kind, ft = tag, ft[: -len(tag)]
+                break
+        omul = ft.endswith("mul")
+        ft = ft[:-3] if omul else ft
+        oact = ft.endswith("act")
+        ft = ft[:-3] if oact else ft
+        assert ft in ("xv1a", "xv2a", "xv3a"), (
+            f"unsupported xv mode {self.forward_type!r}: only the live *a "
+            "modes exist (reference vmamba.py:944-960; xv1/xv2/... are dead "
+            "if-False code)")
+        mode = ft
+
+        if self.d_conv > 1:
+            x = Conv(self.d_model, self.d_conv, 1, (self.d_conv - 1) // 2,
+                     groups=self.d_model, use_bias=self.conv_bias,
+                     name="conv2d")(x)
+            x = nn.silu(x)
+
+        dt_width = {"xv1a": R, "xv2a": Di, "xv3a": 4 * R}[mode]
+        widths = [Di, dt_width, 4 * N, 4 * N]
+        xin = Dense(sum(widths), use_bias=self.bias,
+                    kernel_init=torch_init.trunc_normal(0.02), name="in_proj")(x)
+        splits = [widths[0], widths[0] + widths[1], widths[0] + widths[1] + widths[2]]
+        us_raw, dts_raw, Bs_raw, Cs_raw = jnp.split(xin, splits, axis=-1)
+
+        us = cross_scan(us_raw)                    # (B, 4, L, Di)
+        Bs = cross_scan_1b1(Bs_raw)                # (B, 4, L, N)
+        Cs = cross_scan_1b1(Cs_raw)
+        if mode == "xv2a":
+            dts = cross_scan(dts_raw)              # (B, 4, L, Di); no dt proj
+        else:
+            dt_w = self.param(
+                "dt_projs_weight",
+                lambda k, s: jax.random.uniform(
+                    k, s, jnp.float32, -(R ** -0.5), R ** -0.5),
+                (K, Di, R),
+            )
+            dts = (cross_scan if mode == "xv1a" else cross_scan_1b1)(dts_raw)
+            dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w)
+
+        dt_b = self.param("dt_projs_bias", _dt_bias_init(), (K, Di))
+        A_logs = self.param("A_logs", _a_log_init, (K * Di, N))
+        Ds = self.param("Ds", torch_init.ones, (K * Di,))
+
+        A = -jnp.exp(A_logs.astype(jnp.float32))
+        ys = cross_selective_scan(us, dts, A, Bs, Cs, Ds, dt_b.reshape(-1),
+                                  delta_softplus=True)   # (B, 4, L, Di)
+        y = cross_merge(ys, H, W)                        # (B, L, Di)
+
+        if out_norm_kind == "ln":
+            y = nn.LayerNorm(epsilon=1e-5, name="out_norm")(y)
+            y = y.reshape(B, H, W, Di)
+        elif out_norm_kind == "none":
+            y = y.reshape(B, H, W, Di)
+        elif out_norm_kind == "sigmoid":
+            y = jax.nn.sigmoid(y).reshape(B, H, W, Di)
+        elif out_norm_kind == "softmax":
+            # SoftmaxSpatial (vmamba.py:883-889): softmax over L per channel
+            y = jax.nn.softmax(y, axis=1).reshape(B, H, W, Di)
+        else:  # dwconv3
+            y = y.reshape(B, H, W, Di)
+            y = Conv(Di, 3, 1, 1, groups=Di, use_bias=False, name="out_norm")(y)
+
+        if oact:
+            y = gelu(y)
+        if omul:
+            y = y * us_raw  # _us: the pre-scan u channels (vmamba.py:1302)
+        y = Dense(self.d_model, use_bias=self.bias,
+                  kernel_init=torch_init.trunc_normal(0.02), name="out_proj")(y)
         if self.dropout > 0:
             y = nn.Dropout(self.dropout, deterministic=not train, name="do")(y)
         return y

@@ -24,7 +24,7 @@ import numpy as np
 
 __all__ = ["cross_scan", "cross_merge", "cross_scan8", "cross_merge8",
            "cross_scan_1d", "cross_merge_1d", "cross_scan_2d",
-           "cross_merge_2d"]
+           "cross_merge_2d", "cross_scan_1b1"]
 
 
 def cross_scan(x: jnp.ndarray) -> jnp.ndarray:
@@ -45,6 +45,23 @@ def cross_merge(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     y2 = jnp.flip(ys[:, 2], axis=1)
     y3 = jnp.flip(ys[:, 3], axis=1).reshape(B, W, H, C).transpose(0, 2, 1, 3).reshape(B, L, C)
     return y0 + y1 + y2 + y3
+
+
+def cross_scan_1b1(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 4*c) -> (B, 4, H*W, c): one-by-one cross-scan — channel
+    group k rides traversal k ONLY (reference CrossScanTriton1b1,
+    compare/csm_triton.py:138-180,235-257; consumed by the SS2D xv forward
+    family's per-direction dt/B/C tensors, compare/vmamba.py:1236-1268).
+    Channel grouping matches the reference's `.view(B, 4, -1, H, W)` split."""
+    B, H, W, KC = x.shape
+    c = KC // 4
+    assert KC == 4 * c
+    g = [x[..., k * c:(k + 1) * c] for k in range(4)]
+    x0 = g[0].reshape(B, H * W, c)
+    x1 = g[1].transpose(0, 2, 1, 3).reshape(B, H * W, c)
+    x2 = jnp.flip(g[2].reshape(B, H * W, c), axis=1)
+    x3 = jnp.flip(g[3].transpose(0, 2, 1, 3).reshape(B, H * W, c), axis=1)
+    return jnp.stack([x0, x1, x2, x3], axis=1)
 
 
 def cross_scan_1d(x: jnp.ndarray) -> jnp.ndarray:

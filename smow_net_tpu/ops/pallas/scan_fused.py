@@ -78,6 +78,11 @@ _BWD_BUDGET_WIDE = int(_os.environ.get("SCAN_FUSED_BWD_BUDGET_WIDE",
                                        str(4 << 20)))
 _STEP_WIDE = int(_os.environ.get("SCAN_FUSED_STEP_WIDE", "8"))
 
+# Non-wide chunk budgets — the single source for both the _pick_chunk*
+# defaults and _tiling (they silently diverged when duplicated as literals).
+_FWD_BUDGET = 4 << 20
+_BWD_BUDGET = 8 << 20
+
 
 def _tiling(BG, L, Cg, N, bwd=False):
     """(bt, chunk, step) for one kernel call, applying the wide-row budget
@@ -86,9 +91,10 @@ def _tiling(BG, L, Cg, N, bwd=False):
     wide = bt * N * Cg > _WIDE_ROW_ELEMS
     if bwd:
         chunk = _pick_chunk_bwd(L, Cg, N, bt,
-                                _BWD_BUDGET_WIDE if wide else 8 << 20)
+                                _BWD_BUDGET_WIDE if wide else _BWD_BUDGET)
     else:
-        chunk = _pick_chunk(L, Cg, bt, _FWD_BUDGET_WIDE if wide else 4 << 20)
+        chunk = _pick_chunk(L, Cg, bt,
+                            _FWD_BUDGET_WIDE if wide else _FWD_BUDGET)
     step = _STEP_WIDE if wide else _STEP
     while chunk % step:
         step //= 2
@@ -109,7 +115,7 @@ def _pick_bt(BG: int, Cg: int, N: int) -> int:
 
 
 def _pick_chunk_bwd(L: int, Cg: int, N: int, bt: int,
-                    budget_bytes: int = 8 << 20) -> int:
+                    budget_bytes: int = _BWD_BUDGET) -> int:
     """The reverse kernel keeps the recomputed (chunk, bt, N, Cg) h states
     in VMEM scratch; size the chunk so that stays under the budget."""
     chunk = 1024
@@ -121,7 +127,7 @@ def _pick_chunk_bwd(L: int, Cg: int, N: int, bt: int,
 
 
 def _pick_chunk(L: int, Cg: int, bt: int = 1,
-                budget_bytes: int = 4 << 20) -> int:
+                budget_bytes: int = _FWD_BUDGET) -> int:
     """Largest power-of-two chunk dividing L whose (bt, chunk, Cg) fp32
     block stays under the budget (u, dt, y blocks each hold one)."""
     chunk = 1024

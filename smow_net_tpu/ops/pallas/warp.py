@@ -87,8 +87,15 @@ def _pick_tile(P: int, wc: int, floor: int) -> int:
     """Largest pixel tile <= 1024 dividing P whose ~4 (W*C, tile) fp32
     temporaries stay within ~24 MB of VMEM (the image block, index rows and
     pipelining head-room take the rest of the 48 MB limit)."""
-    if _TILE_FORCE is not None and P % _TILE_FORCE == 0:
-        return _TILE_FORCE
+    if _TILE_FORCE is not None:
+        if P % _TILE_FORCE == 0:
+            return _TILE_FORCE
+        # A silently-ignored force would make an A/B probe report a spurious
+        # NULL (both arms running the budget tile); make the fallback loud.
+        import warnings
+        warnings.warn(
+            f"warp _TILE_FORCE={_TILE_FORCE} does not divide P={P}; "
+            "falling back to the budget tile", stacklevel=2)
     cap = max(floor, (24 * 1024 * 1024) // (wc * 4 * 4))
     t = 128
     while t * 2 <= min(cap, 1024) and P % (t * 2) == 0:
@@ -580,10 +587,12 @@ grid_sample_pallas.defvjp(_fwd, _bwd)
 
 
 def _tok_kernel(idxw_ref, xt_ref, m_ref, ew_ref, z_ref, *,
-                H: int, W: int, C: int):
+                H: int, W: int, C: int, eaw_ref=None):
     """Per pixel tile: gather+lerp the logits (1 matmul), exponentiate
     against the per-(frame, l) shift m, accumulate zaw, and scatter the
-    unnormalized exp back into the image grid (1 matmul)."""
+    unnormalized exp back into the image grid (1 matmul). With `eaw_ref`
+    (the hybrid train variant) the per-tile exp is also written out as a
+    residual for the split backward."""
     tp = idxw_ref.shape[-1]
     y0 = idxw_ref[0, 0:1, :]
     y1 = idxw_ref[0, 1:2, :]
@@ -614,6 +623,8 @@ def _tok_kernel(idxw_ref, xt_ref, m_ref, ew_ref, z_ref, *,
         t = t[:rows, :] + t[rows:, :]               # aw (C, tp) fp32
     m = m_ref[0][:, 0:1]                            # (C, 1)
     eaw = jnp.exp(t - m)                            # (C, tp) fp32
+    if eaw_ref is not None:
+        eaw_ref[0] = eaw.astype(eaw_ref.dtype)
 
     part = jnp.sum(eaw, axis=1, keepdims=True)      # (C, 1)
     whg = (fh[:, None, :] * eaw[None, :, :]).reshape(W * C, tp)
@@ -843,3 +854,169 @@ def _tok_bwd(interpret, res, cots):
 
 
 token_scatter_pallas.defvjp(_tok_fwd, _tok_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid train variant (VERDICT r4 #1): FUSED forward + SPLIT backward.
+# The r4 A/B (artifacts/bench_r03/token_ab.txt) compared fused-fwd+fused-bwd
+# (9.27 ms) against unfused-fwd+unfused-bwd (7.90) — the cross combination
+# was never measured, yet the two verdicts are separable: the fused forward
+# won its half (infer 2.93 vs 3.57) and the unfused two-kernel backward won
+# its half (the monolithic bwd kernel keeps both image blocks + every
+# expanded temporary live and pipelines worse). This op pairs the winning
+# halves: the one-kernel forward (extended to write its in-VMEM exp as a
+# residual) with the proven split backward — the scatter-VJP kernel and the
+# warp-bwd kernel — sharing ONE idxw precompute/VJP where the unfused chain
+# paid two. The backward is already at its 5-gather-matmul-pass floor (each
+# pass is (W*C, H)x(H, tile) one-hot work on the MXU), so the forward and
+# the duplicated XLA glue are exactly the parts with headroom.
+# ---------------------------------------------------------------------------
+
+
+def _tok_kernel_hyb(idxw_ref, xt_ref, m_ref, ew_ref, z_ref, eaw_ref, *,
+                    H: int, W: int, C: int):
+    _tok_kernel(idxw_ref, xt_ref, m_ref, ew_ref, z_ref,
+                H=H, W=W, C=C, eaw_ref=eaw_ref)
+
+
+def _tok_forward_hyb(a, grid, m, interpret=False):
+    B, H, W, C = a.shape
+    P = H * W
+    idxw = _corner_indices_weights(grid, H, W, "border", True)
+    at = a.reshape(B, H, W * C).transpose(0, 2, 1)
+    mb = jnp.broadcast_to(m.astype(jnp.float32)[:, :, None], (B, C, 128))
+
+    tp = _pick_tile(P, W * C, floor=_TILE_P)
+    kernel = functools.partial(_tok_kernel_hyb, H=H, W=W, C=C)
+    ewt, z, eaw = pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W * C, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, 128), jnp.float32),
+            # a.dtype residual: the unfused chain materialized eaw at the
+            # model dtype too, so the split backward sees identical numerics
+            jax.ShapeDtypeStruct((B, C, P), a.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(idxw, at, mb)
+    ew = ewt.transpose(0, 2, 1).reshape(B, H, W, C).astype(a.dtype)
+    return ew, z[:, :, 0].astype(a.dtype), eaw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def token_scatter_hybrid_pallas(a, grid, interpret=False):
+    """Same contract as `token_scatter_pallas` (ew, zaw of the warped-softmax
+    -scatter chain, shared-max shift); train-tuned lowering — see the section
+    comment."""
+    m = jax.lax.stop_gradient(jnp.max(a, axis=(1, 2)))
+    ew, z, _ = _tok_forward_hyb(a, grid, m, interpret)
+    return ew, z
+
+
+def _tok_hyb_fwd(a, grid, interpret):
+    m = jax.lax.stop_gradient(jnp.max(a, axis=(1, 2)))
+    ew, z, eaw = _tok_forward_hyb(a, grid, m, interpret)
+    return (ew, z), (a, grid, eaw)
+
+
+def _tok_hyb_bwd(interpret, res, cots):
+    a, grid, eaw = res
+    ew_bar, dz = cots
+    B, H, W, C = a.shape
+    P = H * W
+    idxw, f_vjp = jax.vjp(
+        lambda g: _corner_indices_weights(g, H, W, "border", True), grid)
+    ebt = ew_bar.reshape(B, H, W * C).transpose(0, 2, 1).astype(a.dtype)
+
+    # scatter-VJP kernel: dg = S ew_bar (+ the scatter op's grid grads)
+    tp = _pick_tile(P, W * C * 3 // 2, floor=_TILE_P_BWD)
+    dg, dw_e = pl.pallas_call(
+        functools.partial(_t_vjp_kernel, H=H, W=W, C=C),
+        grid=(B, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, C, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, C, P), a.dtype),
+            jax.ShapeDtypeStruct((B, 8, P), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(idxw, ebt, eaw)
+
+    # chain rule through exp and the zaw row-sum (XLA elementwise, kernel-
+    # layout (B, C, P) tensors — no transposes)
+    daw = ((dg.astype(jnp.float32) + dz.astype(jnp.float32)[:, :, None])
+           * eaw.astype(jnp.float32)).astype(a.dtype)
+
+    # warp-bwd kernel: da (scatter of daw) + the warp op's grid grads
+    at = a.reshape(B, H, W * C).transpose(0, 2, 1)
+    dat, dw_a = pl.pallas_call(
+        functools.partial(_bwd_kernel, H=H, W=W, C=C),
+        grid=(B, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W * C, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, P), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(idxw, at, daw)
+
+    da = dat.transpose(0, 2, 1).reshape(B, H, W, C).astype(a.dtype)
+    (dgrid,) = f_vjp(dw_e + dw_a)
+    return da, dgrid
+
+
+token_scatter_hybrid_pallas.defvjp(_tok_hyb_fwd, _tok_hyb_bwd)

@@ -288,6 +288,23 @@ cross_attn_head1_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 _TILE_L = int(__import__("os").environ.get("XLAYER_TILE", "1024"))
 _TILE_L_BWD = int(__import__("os").environ.get("XLAYER_TILE_BWD", "512"))
+# Backward grid layout (VERDICT r4 #3 attempt): with every parameter grad
+# accumulated into ONE shared block, the whole (B, N/tile) bwd grid is
+# 'arbitrary' — 512 strictly-serialized programs at the flagship shapes.
+# parallel-b emits PER-BATCH partial parameter grads (a (B, ...) leading
+# dim, reduced by one tiny XLA sum outside) so the batch dimension becomes
+# 'parallel' and Mosaic can pipeline across image rows like the forward.
+_BWD_PARALLEL_B = __import__("os").environ.get("XLAYER_BWD_PARB", "1") != "0"
+_BWD_VMEM = 64 * 1024 * 1024
+
+
+def set_xlayer_bwd(tile: int = None, parallel_b: bool = None):
+    """A/B toggles for the layer-kernel backward lowering."""
+    global _TILE_L_BWD, _BWD_PARALLEL_B
+    if tile is not None:
+        _TILE_L_BWD = tile
+    if parallel_b is not None:
+        _BWD_PARALLEL_B = parallel_b
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
@@ -382,7 +399,7 @@ def _layer_bwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
                       perm_ref, w1_ref, b1_ref, w2_ref, g_ref,
                       dx_ref, dwq_ref, dbq_ref, dk_ref, dvg_ref, dwo_ref,
                       dbo_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
-                      eps: float, has_perm: bool):
+                      eps: float, has_perm: bool, parallel_b: bool = False):
     (x, x32, mu1, r1, q, e, den, o, y1, mu2, r2, hpre, hg,
      prec) = _layer_core(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref,
                          bo_ref, perm_ref, w1_ref, b1_ref,
@@ -428,7 +445,13 @@ def _layer_bwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
         dx = dx + dy1
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    # per-batch partial grads (parallel_b): every output block belongs to
+    # this b alone, so zero at this b's first tile; shared-block layout
+    # zeroes once at the global first program
+    zero_now = (pl.program_id(1) == 0) if parallel_b else (
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+
+    @pl.when(zero_now)
     def _():
         dwq_ref[...] = jnp.zeros_like(dwq_ref)
         dbq_ref[...] = jnp.zeros_like(dbq_ref)
@@ -521,33 +544,46 @@ def _layer_vjp_bwd(eps, has_perm, interpret, res, gy):
     h = wq.shape[1]
     hm = k.shape[-1]
     hid = w1.shape[1]
-    kernel = functools.partial(_layer_bwd_kernel, eps=eps, has_perm=has_perm)
+    parb = _BWD_PARALLEL_B
+    kernel = functools.partial(_layer_bwd_kernel, eps=eps, has_perm=has_perm,
+                               parallel_b=parb)
     const, perb, tile_s, ins = _layer_specs(B, N, D, h, hm, hid, _TILE_L_BWD)
+    # parameter-grad blocks: shared (accumulated across the whole serialized
+    # grid) or per-batch partials (batch dim parallel; reduced outside)
+    pgrad = perb if parb else const
+    pshape = (lambda *s: jax.ShapeDtypeStruct((B,) + s, jnp.float32)) if parb \
+        else (lambda *s: jax.ShapeDtypeStruct(s, jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=(B, N // _TILE_L_BWD),
         in_specs=ins[:11] + [tile_s],
-        out_specs=(tile_s, const(D, h), const(1, h), perb(h, hm),
-                   perb(hm, 2 * h), const(h, D), const(1, D), const(D, hid),
-                   const(1, hid), const(hid, D), const(1, D)),
+        out_specs=(tile_s, pgrad(D, h), pgrad(1, h), perb(h, hm),
+                   perb(hm, 2 * h), pgrad(h, D), pgrad(1, D), pgrad(D, hid),
+                   pgrad(1, hid), pgrad(hid, D), pgrad(1, D)),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, D), x.dtype),
-            jax.ShapeDtypeStruct((D, h), jnp.float32),
-            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            pshape(D, h),
+            pshape(1, h),
             jax.ShapeDtypeStruct((B, h, hm), jnp.float32),
             jax.ShapeDtypeStruct((B, hm, 2 * h), jnp.float32),
-            jax.ShapeDtypeStruct((h, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((D, hid), jnp.float32),
-            jax.ShapeDtypeStruct((1, hid), jnp.float32),
-            jax.ShapeDtypeStruct((hid, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            pshape(h, D),
+            pshape(1, D),
+            pshape(D, hid),
+            pshape(1, hid),
+            pshape(hid, D),
+            pshape(1, D),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("parallel" if parb else "arbitrary",
+                                 "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM),
         interpret=interpret,
     )(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, gy)
     (dx, dwq, dbq, dk, dvg, dwo, dbo, dw1, db1, dw2, db2) = outs
+    if parb:
+        dwq, dbq, dwo, dbo, dw1, db1, dw2, db2 = (
+            jnp.sum(t, axis=0) for t in
+            (dwq, dbq, dwo, dbo, dw1, db1, dw2, db2))
     cast = lambda g, ref: g.astype(ref.dtype)
     return (dx, cast(dwq, wq), cast(dbq, bq), cast(dk, k), cast(dvg, vg),
             cast(dwo, wo), cast(dbo, bo), jnp.zeros_like(perm),

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 __all__ = ["grid_sample", "grid_sample_auto", "grid_sample_transpose",
            "set_warp_impl", "flow_warp", "flow_warp_transpose",
-           "token_softmax_scatter"]
+           "token_softmax_scatter", "token_softmax_scatter_train",
+           "set_token_train_impl"]
 
 _IMPL = "auto"
 
@@ -254,6 +255,48 @@ def token_softmax_scatter(a: jnp.ndarray, flow: jnp.ndarray):
     eaw = jnp.exp(aw - m)
     ew = grid_sample_transpose(eaw, grid, (H, W), "border", True)
     return ew, jnp.sum(eaw, axis=(1, 2))
+
+
+# Train-side lowering of the token warp chain (same math as
+# token_softmax_scatter; the infer side always takes the fused kernel):
+#   unfused — flow_warp + exp + flow_warp_transpose (2+2 kernels; r3 verdict)
+#   fused   — token_scatter_pallas fwd AND bwd (lost the r4 train A/B)
+#   hybrid  — fused forward + the unfused split backward sharing one idxw
+#             VJP (pallas/warp.token_scatter_hybrid_pallas)
+# Default set by the round-5 on-chip A/B (tools/probe_token_ab.py).
+_TOK_TRAIN_IMPL = "unfused"
+
+
+def set_token_train_impl(name: str):
+    assert name in ("unfused", "fused", "hybrid"), name
+    global _TOK_TRAIN_IMPL
+    _TOK_TRAIN_IMPL = name
+
+
+def token_softmax_scatter_train(a: jnp.ndarray, flow: jnp.ndarray):
+    """Train-path `token_softmax_scatter`: identical (ew, zaw) contract,
+    lowering selected by `set_token_train_impl` (A/B'd on chip)."""
+    B, H, W, C = a.shape
+    from .pallas.warp import pallas_warp_supported
+
+    on_tpu = (jax.default_backend() == "tpu"
+              and pallas_warp_supported(a.shape, (B, H, W, 2))
+              and _IMPL in ("auto", "pallas"))
+    impl = _TOK_TRAIN_IMPL if on_tpu else "unfused"
+    if impl == "fused":
+        return token_softmax_scatter(a, flow)
+    if impl == "hybrid":
+        from .pallas.warp import token_scatter_hybrid_pallas
+
+        return token_scatter_hybrid_pallas(a, _flow_grid(flow, H, W))
+    # unfused composition (the round-2/3 train path)
+    n = H * W
+    m = jax.lax.stop_gradient(jnp.max(a.reshape(B, n, C), axis=1))
+    aw = flow_warp(a, flow)
+    eaw = jnp.exp(aw - m.reshape(B, 1, 1, C))
+    zaw = jnp.sum(eaw.reshape(B, n, C), axis=1)
+    ew = flow_warp_transpose(eaw, flow)
+    return ew, zaw
 
 
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:

@@ -92,19 +92,59 @@ def install_fvcore_stub():
 
 
 def install_csm_triton_stub():
-    """The reference's Triton cross-scan module (imports triton, absent)."""
+    """The reference's Triton cross-scan module (imports triton, absent).
+
+    Functional pure-torch equivalents of the three Triton autograd wrappers
+    (compare/csm_triton.py:183-257): the kernels write four traversals —
+    identity, transpose, reverse, reverse-transpose (p_y1..p_y4 index math,
+    csm_triton.py:29-40) — matching the torch CrossScan/CrossMerge
+    (compare/vmamba.py:27-69). Differentiable via plain autograd, so the
+    reference's forwardxv path runs on CPU as a parity oracle."""
     if "csm_triton" in sys.modules:
         return
     m = types.ModuleType("csm_triton")
 
-    class _Never(torch.autograd.Function):
-        @staticmethod
-        def forward(ctx, *a):
-            raise RuntimeError("triton stub")
+    def _scan4(x):  # (B, C, H, W) -> (B, 4, C, L)
+        xf = x.flatten(2)
+        xt = x.transpose(2, 3).flatten(2)
+        return torch.stack(
+            [xf, xt, torch.flip(xf, dims=[-1]), torch.flip(xt, dims=[-1])],
+            dim=1)
 
-    m.CrossScanTriton = _Never
-    m.CrossMergeTriton = _Never
-    m.CrossScanTriton1b1 = _Never
+    def _merge4(y, H, W):  # (B, 4, C, H*W) traversal-layout slabs -> (B, C, L)
+        B, K, C, L = y.shape
+        r0 = y[:, 0]
+        r1 = y[:, 1].view(B, C, W, H).transpose(2, 3).reshape(B, C, L)
+        r2 = torch.flip(y[:, 2], dims=[-1])
+        r3 = torch.flip(y[:, 3], dims=[-1]).view(B, C, W, H).transpose(2, 3).reshape(B, C, L)
+        return r0 + r1 + r2 + r3
+
+    class _CrossScanTriton:
+        @staticmethod
+        def apply(x):  # (B, C, H, W) -> (B, 4, C, L)
+            return _scan4(x)
+
+    class _CrossMergeTriton:
+        @staticmethod
+        def apply(y):  # (B, K, C, H, W) -> (B, C, L)
+            B, K, C, H, W = y.shape
+            return _merge4(y.reshape(B, K, C, H * W), H, W)
+
+    class _CrossScanTriton1b1:
+        @staticmethod
+        def apply(x):  # (B, 4, C, H, W) -> (B, 4, C, L): slab k, traversal k
+            B, K, C, H, W = x.shape
+            xf = x.flatten(3)
+            return torch.stack(
+                [xf[:, 0],
+                 x[:, 1].transpose(2, 3).flatten(2),
+                 torch.flip(xf[:, 2], dims=[-1]),
+                 torch.flip(x[:, 3].transpose(2, 3).flatten(2), dims=[-1])],
+                dim=1)
+
+    m.CrossScanTriton = _CrossScanTriton
+    m.CrossMergeTriton = _CrossMergeTriton
+    m.CrossScanTriton1b1 = _CrossScanTriton1b1
     sys.modules["csm_triton"] = m
 
 

@@ -192,3 +192,34 @@ def test_segmented_grouped_matches_flat():
                                        rtol=2e-4, atol=2e-4)
     finally:
         sf._SEG_MIN_L, sf._SEG_MIN_K, sf._SEG_TARGET_ROWS = old
+
+
+@pytest.mark.parametrize(
+    "BG,L,Cg,N,bt,wide",
+    [
+        # change_mamba VSSBlock 64^2 (B4, K4): exactly AT the 24576 gate —
+        # proven-on-chip largest non-wide tiling (CLAUDE.md perf notes)
+        (16, 4096, 96, 16, 16, False),
+        # cd_mamba enc0 bidirectional batched call
+        (16, 65536, 32, 16, 16, False),
+        # cd_mamba GF both-direction batched call
+        (32, 65536, 32, 16, 32, False),
+        # rs_mamba OSSM (B4, K8, Cg=192): wide — budget-shrunk tilings
+        (32, 4096, 192, 16, 16, True),
+    ],
+)
+def test_wide_row_classification_pinned(BG, L, Cg, N, bt, wide):
+    """The wide-row gate (bt*N*Cg > _WIDE_ROW_ELEMS) sits exactly at
+    change_mamba's proven shape; a drive-by change to _BT_CAP / the gate /
+    _pick_bt would silently flip a bench-critical model between the full and
+    shrunken chunk budgets (~3% step-unroll cost). Pin the classification of
+    the bench-critical tuples (ADVICE r4)."""
+    from smow_net_tpu.ops.pallas import scan_fused as sf
+
+    got_bt = sf._pick_bt(BG, Cg, N)
+    assert got_bt == bt, (got_bt, bt)
+    assert (got_bt * N * Cg > sf._WIDE_ROW_ELEMS) == wide
+    # and the budget actually applied follows the classification
+    fwd_bt, fwd_chunk, fwd_step = sf._tiling(BG, L, Cg, N)
+    assert fwd_bt == bt
+    assert fwd_step == (sf._STEP_WIDE if wide else sf._STEP)

@@ -174,3 +174,55 @@ def test_transpose_vjp_fused_kernel(padding_mode):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(dgrid), np.asarray(ref_dgrid),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_token_scatter_hybrid_forward_and_grads():
+    """The hybrid (fused-fwd + split-bwd) train lowering must match the
+    unfused XLA chain in outputs and all grads (VERDICT r4 #1)."""
+    from smow_net_tpu.ops.pallas.warp import token_scatter_hybrid_pallas
+
+    x, grid = _rand(17)
+    ew, z = token_scatter_hybrid_pallas(x, grid, True)
+    ref_ew, ref_z = _token_chain_ref(x, grid)
+    np.testing.assert_allclose(np.asarray(ew), np.asarray(ref_ew),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref_z),
+                               rtol=1e-5, atol=1e-5)
+
+    r1 = jax.random.normal(jax.random.PRNGKey(18), x.shape)
+    r2 = jax.random.normal(jax.random.PRNGKey(19), (B, C))
+
+    def loss_hyb(a, g):
+        ew, z = token_scatter_hybrid_pallas(a, g, True)
+        return jnp.sum(ew * r1) + jnp.sum(z * r2)
+
+    def loss_ref(a, g):
+        ew, z = _token_chain_ref(a, g)
+        return jnp.sum(ew * r1) + jnp.sum(z * r2)
+
+    gp = jax.grad(loss_hyb, argnums=(0, 1))(x, grid)
+    gx = jax.grad(loss_ref, argnums=(0, 1))(x, grid)
+    for got, want in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_token_train_router_cpu_fallback():
+    """token_softmax_scatter_train must fall back to the unfused chain off
+    TPU for every impl setting (normalized outputs identical)."""
+    from smow_net_tpu.ops import warp as warp_mod
+
+    x, _ = _rand(20)
+    flow = jax.random.normal(jax.random.PRNGKey(21), (B, H, W, 2)) * 2.0
+    grid = warp_mod._flow_grid(flow, H, W)
+    ref_ew, ref_z = _token_chain_ref(x, grid)
+    for impl in ("unfused", "fused", "hybrid"):
+        try:
+            warp_mod.set_token_train_impl(impl)
+            ew, z = warp_mod.token_softmax_scatter_train(x, flow)
+        finally:
+            warp_mod.set_token_train_impl("unfused")
+        np.testing.assert_allclose(
+            np.asarray(ew / z[:, None, None, :]),
+            np.asarray(ref_ew / ref_z[:, None, None, :]),
+            rtol=1e-5, atol=1e-5)

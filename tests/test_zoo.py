@@ -49,3 +49,28 @@ def test_forward_shape(name, size, batch):
         mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
     )
     assert out2.shape == out.shape
+
+
+@pytest.mark.parametrize("name", ["rs_mamba", "change_mamba"])
+def test_enc_2b_branches_equivalent(name):
+    """The A/B-toggled siamese-encoder batching (_ENC_2B) must be numerically
+    exact in eval mode: the encoders are LayerNorm-only, so one (2B)-batched
+    pass == two sequential passes. Pins the untoggled branch so a regression
+    there is caught off-chip (ADVICE r4)."""
+    import importlib
+
+    mod = importlib.import_module(f"smow_net_tpu.models.zoo.{name}")
+    model = get_model(name)
+    rng = np.random.default_rng(3)
+    x1 = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x1, x2, train=False)
+    try:
+        mod.set_enc_2b(True)
+        out_2b = model.apply(variables, x1, x2, train=False)
+        mod.set_enc_2b(False)
+        out_seq = model.apply(variables, x1, x2, train=False)
+    finally:
+        mod.set_enc_2b(True)
+    np.testing.assert_allclose(
+        np.asarray(out_2b), np.asarray(out_seq), atol=2e-5, rtol=2e-5)

@@ -137,6 +137,21 @@ def test_scratchformer_output_parity():
     run_parity("scratchformer", m, size=128)
 
 
+@pytest.mark.slow
+def test_scratchformer_output_parity_256():
+    """VERDICT r4 weak #6: the grid-attention window arithmetic is
+    resolution-dependent (ScratchFormer.py:417-486 shuffles fixed-size grids
+    out of the token map), so pin parity at the native 256 too."""
+    from ref_stubs import install_timm_stub
+
+    install_timm_stub()
+    ref = load_reference_module(f"{REF_DIR}/ScratchFormer.py", "ref_scratch_op")
+    torch.manual_seed(0)
+    with construct_quiet():
+        m = ref.ScratchFormer(input_nc=3, output_nc=2, embed_dim=256)
+    run_parity("scratchformer", m, size=256)
+
+
 def test_afcf3d_output_parity():
     import test_convert_parity as tcp
 

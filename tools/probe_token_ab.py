@@ -46,25 +46,27 @@ class Fused(nn.Module):
         return W.token_softmax_scatter(a, flow)
 
 
+class Hybrid(nn.Module):
+    @nn.compact
+    def __call__(self, a, flow):
+        return PW.token_scatter_hybrid_pallas(a, W._flow_grid(flow, H, Wd))
+
+
 def main():
     bf = jnp.bfloat16
     r, k = jax.random.normal, jax.random.PRNGKey
     a = r(k(0), (B, H, Wd, C), bf)
     flow = (r(k(1), (B, H, Wd, 2), jnp.float32) * 2.0).astype(bf)
-    for label, mod, halves in (("unfused", Unfused(), None),
-                               ("fused/6", Fused(), 6),
-                               ("fused/3", Fused(), 3),
-                               ("unfused", Unfused(), None),
-                               ("fused/3", Fused(), 3)):
+    arms = (("unfused", Unfused(), None),
+            ("hybrid", Hybrid(), 3),
+            ("unfused", Unfused(), None),
+            ("hybrid", Hybrid(), 3))
+    if os.environ.get("PB_FUSED_ARM"):
+        arms = arms + (("fused/3", Fused(), 3),)
+    for label, mod, halves in arms:
         if halves is not None:
             PW.set_token_bwd_tile_factor(halves)
         timeit(f"token chain train [{label}]", mod, a, flow, train_kw=False)
-    for label, mod, halves in (("unfused", Unfused(), None),
-                               ("fused/3", Fused(), 3)):
-        if halves is not None:
-            PW.set_token_bwd_tile_factor(halves)
-        timeit_fwd(f"token chain infer [{label}]", mod, a, flow,
-                   train_kw=False)
     PW.set_token_bwd_tile_factor(3)
 
 
