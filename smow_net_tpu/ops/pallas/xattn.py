@@ -305,6 +305,18 @@ def set_xlayer_bwd(tile: int = None, parallel_b: bool = None):
         _TILE_L_BWD = tile
     if parallel_b is not None:
         _BWD_PARALLEL_B = parallel_b
+
+
+def set_xlayer_tiles(fwd: int = None, bwd: int = None):
+    """Set the layer-kernel pixel tiles. Tests shrink these so the kernel
+    actually engages at small N — with the defaults (1024/512), N=512 fails
+    `xlayer_supported` and the interpret-mode layer tests silently compared
+    the XLA path against itself (found in round 5)."""
+    global _TILE_L, _TILE_L_BWD
+    if fwd is not None:
+        _TILE_L = fwd
+    if bwd is not None:
+        _TILE_L_BWD = bwd
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
@@ -336,60 +348,122 @@ def xlayer_supported(n: int, d: int, heads: int, m: int, hidden: int) -> bool:
     )
 
 
+def _seg_stats(x32, eps, npack):
+    """Per-segment LN statistics over `npack` equal lane segments: returns
+    (mu_lane, r_lane) broadcast across each segment's lanes. npack=1 is the
+    plain LN. The pack-2 variant (VERDICT r4 #2) rides two D=64 pixels in
+    one 128-lane row, so every normalization must see its own half."""
+    if npack == 1:
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+        return mu, jax.lax.rsqrt(var + eps)
+    Dp = x32.shape[-1] // npack
+    mus, rs = [], []
+    for i in range(npack):
+        xs = x32[:, i * Dp:(i + 1) * Dp]
+        mu = jnp.mean(xs, axis=-1, keepdims=True)
+        var = jnp.mean(xs * xs, axis=-1, keepdims=True) - mu * mu
+        mus.append(jnp.broadcast_to(mu, xs.shape))
+        rs.append(jnp.broadcast_to(jax.lax.rsqrt(var + eps), xs.shape))
+    return (jnp.concatenate(mus, axis=-1), jnp.concatenate(rs, axis=-1))
+
+
+def _seg_to_width(s_lane, Din, width, npack):
+    """Re-broadcast a per-segment lane statistic (TN, Din) to `width` lanes
+    (npack segments of width//npack): pick each segment's scalar (its first
+    lane slice is constant across the segment) and tile it."""
+    if npack == 1:
+        return s_lane  # (TN, 1) broadcasts over any width
+    Dp = Din // npack
+    Wp = width // npack
+    parts = [jnp.broadcast_to(s_lane[:, i * Dp:i * Dp + 1], (s_lane.shape[0], Wp))
+             for i in range(npack)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _seg_mean(t, npack):
+    """Per-segment lane mean, broadcast back across each segment's lanes."""
+    if npack == 1:
+        return jnp.mean(t, axis=-1, keepdims=True)
+    Dp = t.shape[-1] // npack
+    parts = [jnp.broadcast_to(
+        jnp.mean(t[:, i * Dp:(i + 1) * Dp], axis=-1, keepdims=True),
+        (t.shape[0], Dp)) for i in range(npack)]
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _layer_core(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
-                perm_ref, w1_ref, b1_ref, *, eps, has_perm):
+                perm_ref, w1_ref, b1_ref, *, eps, has_perm, npack=1):
     """Shared fwd compute up to (and including) hg; returns everything the
-    backward needs to finish the MLP and attention chains."""
+    backward needs to finish the MLP and attention chains.
+
+    npack=2: two narrow (D/2-lane) pixels packed per row with block-diagonal
+    weights (built by the wrapper). All LN statistics are per-segment; the
+    softmax row-max is shared across the packed row, which is exact (both
+    pixels' num and den scale by the same constant) up to the den floor."""
     x = x_ref[0]
     dt = x.dtype
     prec = _prec(dt)
     x32 = x.astype(jnp.float32)
-    mu1 = jnp.mean(x32, axis=-1, keepdims=True)
-    var1 = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu1 * mu1
-    r1 = jax.lax.rsqrt(var1 + eps)
+    mu1, r1 = _seg_stats(x32, eps, npack)
 
     wq = wq_ref[...].astype(dt)
+    d = x.shape[-1]
     if has_perm:
         wcat = jnp.concatenate([perm_ref[...].astype(dt), wq], axis=1)
         xw = _dot(x, wcat, ((1,), (0,)), prec)      # (TN, D + h) f32
-        d = x.shape[-1]
         res = xw[:, :d]
         qraw = xw[:, d:]
     else:
         res = x32
         qraw = _dot(x, wq, ((1,), (0,)), prec)
     csq = jnp.sum(wq_ref[...].astype(jnp.float32), axis=0, keepdims=True)
-    q = r1 * qraw - (r1 * mu1) * csq + bq_ref[...].astype(jnp.float32)
+    rm1_q = _seg_to_width(r1 * mu1, d, qraw.shape[-1], npack)
+    r1_q = _seg_to_width(r1, d, qraw.shape[-1], npack)
+    q = r1_q * qraw - rm1_q * csq + bq_ref[...].astype(jnp.float32)
 
     dots = _dot(q.astype(dt), k_ref[0].astype(dt), ((1,), (0,)), prec)
     rmax = jnp.max(dots, axis=-1, keepdims=True)
     e = jnp.exp(dots - rmax)                        # (TN, h*M) f32
     nd = _dot(e.astype(dt), vg_ref[0].astype(dt), ((1,), (0,)), prec)
     h = nd.shape[-1] // 2
-    den = jnp.maximum(nd[:, h:], _DEN_FLOOR)
-    o = nd[:, :h] / den                             # (TN, h) f32
+    if npack == 1:
+        den = jnp.maximum(nd[:, h:], _DEN_FLOOR)
+        o = nd[:, :h] / den                         # (TN, h) f32
+    else:
+        # packed [num_0 | den_0 | num_1 | den_1] blocks of h//npack each
+        hp = h // npack
+        os_, dens = [], []
+        for i in range(npack):
+            num = nd[:, 2 * i * hp:(2 * i + 1) * hp]
+            dn = jnp.maximum(nd[:, (2 * i + 1) * hp:(2 * i + 2) * hp],
+                             _DEN_FLOOR)
+            os_.append(num / dn)
+            dens.append(dn)
+        o = jnp.concatenate(os_, axis=-1)           # (TN, h)
+        den = jnp.concatenate(dens, axis=-1)
 
     y1 = _dot(o.astype(dt), wo_ref[...].astype(dt), ((1,), (0,)), prec)
     y1 = y1 + bo_ref[...].astype(jnp.float32) + res
 
-    mu2 = jnp.mean(y1, axis=-1, keepdims=True)
-    var2 = jnp.mean(y1 * y1, axis=-1, keepdims=True) - mu2 * mu2
-    r2 = jax.lax.rsqrt(var2 + eps)
+    mu2, r2 = _seg_stats(y1, eps, npack)
     y1d = y1.astype(dt)
     hw = _dot(y1d, w1_ref[...].astype(dt), ((1,), (0,)), prec)
     cs1 = jnp.sum(w1_ref[...].astype(jnp.float32), axis=0, keepdims=True)
-    hpre = r2 * hw - (r2 * mu2) * cs1 + b1_ref[...].astype(jnp.float32)
+    rm2_h = _seg_to_width(r2 * mu2, d, hw.shape[-1], npack)
+    r2_h = _seg_to_width(r2, d, hw.shape[-1], npack)
+    hpre = r2_h * hw - rm2_h * cs1 + b1_ref[...].astype(jnp.float32)
     hg = 0.5 * hpre * (1.0 + _erf(hpre * _INV_SQRT2))
     return (x, x32, mu1, r1, q, e, den, o, y1, mu2, r2, hpre, hg, prec)
 
 
 def _layer_fwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
                       perm_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
-                      eps: float, has_perm: bool):
+                      eps: float, has_perm: bool, npack: int = 1):
     (x, x32, mu1, r1, q, e, den, o, y1, mu2, r2, hpre, hg,
      prec) = _layer_core(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref,
                          bo_ref, perm_ref, w1_ref, b1_ref,
-                         eps=eps, has_perm=has_perm)
+                         eps=eps, has_perm=has_perm, npack=npack)
     dt = x.dtype
     y2 = _dot(hg.astype(dt), w2_ref[...].astype(dt), ((1,), (0,)), prec)
     out_ref[0] = (y2 + b2_ref[...].astype(jnp.float32) + y1).astype(out_ref.dtype)
@@ -399,11 +473,12 @@ def _layer_bwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
                       perm_ref, w1_ref, b1_ref, w2_ref, g_ref,
                       dx_ref, dwq_ref, dbq_ref, dk_ref, dvg_ref, dwo_ref,
                       dbo_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
-                      eps: float, has_perm: bool, parallel_b: bool = False):
+                      eps: float, has_perm: bool, parallel_b: bool = False,
+                      npack: int = 1):
     (x, x32, mu1, r1, q, e, den, o, y1, mu2, r2, hpre, hg,
      prec) = _layer_core(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref,
                          bo_ref, perm_ref, w1_ref, b1_ref,
-                         eps=eps, has_perm=has_perm)
+                         eps=eps, has_perm=has_perm, npack=npack)
     dt = x.dtype
     g2 = g_ref[0].astype(jnp.float32)
     g2d = g2.astype(dt)
@@ -417,8 +492,8 @@ def _layer_bwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
     y1n = (y1 - mu2) * r2
     y1nd = y1n.astype(dt)
     dy1n = _dot(dhpre_d, w1_ref[...].astype(dt), ((1,), (1,)), prec)
-    m1 = jnp.mean(dy1n, axis=-1, keepdims=True)
-    m2 = jnp.mean(dy1n * y1n, axis=-1, keepdims=True)
+    m1 = _seg_mean(dy1n, npack)
+    m2 = _seg_mean(dy1n * y1n, npack)
     dy1 = r2 * (dy1n - m1 - y1n * m2) + g2
     dy1d = dy1.astype(dt)
 
@@ -426,7 +501,16 @@ def _layer_bwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
     do = _dot(dy1d, wo_ref[...].astype(dt), ((1,), (1,)), prec)  # (TN, h)
     dnum = do / den
     dden = -do * o / den
-    dnd = jnp.concatenate([dnum, dden], axis=1)      # (TN, 2h)
+    if npack == 1:
+        dnd = jnp.concatenate([dnum, dden], axis=1)  # (TN, 2h)
+    else:
+        # vg columns are [num_0|den_0|num_1|den_1] blocks of h//npack
+        hp = dnum.shape[-1] // npack
+        parts = []
+        for i in range(npack):
+            parts.append(dnum[:, i * hp:(i + 1) * hp])
+            parts.append(dden[:, i * hp:(i + 1) * hp])
+        dnd = jnp.concatenate(parts, axis=1)
     dnd_d = dnd.astype(dt)
     de = _dot(dnd_d, vg_ref[0].astype(dt), ((1,), (1,)), prec)   # (TN, h*M)
     dd = e * de
@@ -436,8 +520,8 @@ def _layer_bwd_kernel(x_ref, wq_ref, bq_ref, k_ref, vg_ref, wo_ref, bo_ref,
     dxn = _dot(dqd, wq_ref[...].astype(dt), ((1,), (1,)), prec)  # (TN, D)
     xn = (x32 - mu1) * r1
     xnd = xn.astype(dt)
-    n1 = jnp.mean(dxn, axis=-1, keepdims=True)
-    n2 = jnp.mean(dxn * xn, axis=-1, keepdims=True)
+    n1 = _seg_mean(dxn, npack)
+    n2 = _seg_mean(dxn * xn, npack)
     dx = r1 * (dxn - n1 - xn * n2)
     if has_perm:
         dx = dx + _dot(dy1d, perm_ref[...].astype(dt), ((1,), (1,)), prec)
@@ -496,12 +580,13 @@ def _layer_specs(B, N, D, h, hm, hid, tile):
 
 
 def _run_layer_fwd(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2,
-                   eps, has_perm, interpret):
+                   eps, has_perm, interpret, npack=1):
     B, N, D = x.shape
     h = wq.shape[1]
     hm = k.shape[-1]
     hid = w1.shape[1]
-    kernel = functools.partial(_layer_fwd_kernel, eps=eps, has_perm=has_perm)
+    kernel = functools.partial(_layer_fwd_kernel, eps=eps, has_perm=has_perm,
+                               npack=npack)
     _, _, tile_s, ins = _layer_specs(B, N, D, h, hm, hid, _TILE_L)
     return pl.pallas_call(
         kernel,
@@ -515,30 +600,32 @@ def _run_layer_fwd(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2,
     )(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
 def cross_layer_head1_pallas(x, wq_eff, bq_eff, k_exp, vg_exp, w_out, b_out,
                              perm, w1_eff, b1_eff, w2, b2,
                              eps: float = 1e-5, has_perm: bool = True,
-                             interpret: bool = False):
+                             interpret: bool = False, npack: int = 1):
     """Whole TransformerDecoder layer fused: LN1 + dim_head=1 cross-attn +
     residual + LN2 + exact-GELU MLP + residual, one HBM pass each way.
 
     vg_exp: (B, h*M, 2h) = [V | G] (value expansion | group-sum indicator)
     w1_eff: (D, hidden) = diag(ln2_scale) w1;  b1_eff = ln2_bias@w1 + b1
-    (other args as cross_attn_head1_pallas)."""
+    (other args as cross_attn_head1_pallas). npack=2: every operand arrives
+    pre-packed by the caller (two pixels per row, block-diagonal weights —
+    ops/xattn._pack2); LN statistics run per lane segment in-kernel."""
     return _run_layer_fwd(x, wq_eff, bq_eff, k_exp, vg_exp, w_out, b_out,
                           perm, w1_eff, b1_eff, w2, b2, eps, has_perm,
-                          interpret)
+                          interpret, npack)
 
 
 def _layer_vjp_fwd(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2,
-                   eps, has_perm, interpret):
+                   eps, has_perm, interpret, npack):
     y = _run_layer_fwd(x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2, b2,
-                       eps, has_perm, interpret)
+                       eps, has_perm, interpret, npack)
     return y, (x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2)
 
 
-def _layer_vjp_bwd(eps, has_perm, interpret, res, gy):
+def _layer_vjp_bwd(eps, has_perm, interpret, npack, res, gy):
     x, wq, bq, k, vg, wo, bo, perm, w1, b1, w2 = res
     B, N, D = x.shape
     h = wq.shape[1]
@@ -546,7 +633,7 @@ def _layer_vjp_bwd(eps, has_perm, interpret, res, gy):
     hid = w1.shape[1]
     parb = _BWD_PARALLEL_B
     kernel = functools.partial(_layer_bwd_kernel, eps=eps, has_perm=has_perm,
-                               parallel_b=parb)
+                               parallel_b=parb, npack=npack)
     const, perb, tile_s, ins = _layer_specs(B, N, D, h, hm, hid, _TILE_L_BWD)
     # parameter-grad blocks: shared (accumulated across the whole serialized
     # grid) or per-batch partials (batch dim parallel; reduced outside)

@@ -29,12 +29,40 @@ __all__ = ["cross_attn_head1", "cross_attn_head1_auto", "cross_layer_head1",
 _IMPL = "auto"
 _INTERPRET = False
 
+# Pack-2 lowering for narrow (D<=64) layers (VERDICT r4 #2): the LW decoder
+# runs this kernel at D=64 with half the 128 VPU lanes idle — pack TWO
+# pixels per kernel row ((B, N, 64) -> (B, N/2, 128)) with block-diagonal
+# weights so every lane is live. Mathematically identical (per-segment LN
+# in-kernel; grads flow back through the differentiable packing, so the
+# block-diagonal construction's VJP extracts/sums parameter grads for free).
+_PACK2 = __import__("os").environ.get("XLAYER_PACK2", "1") != "0"
+
+
+def set_xlayer_pack2(v: bool):
+    global _PACK2
+    _PACK2 = v
+
 
 def set_xattn_impl(name: str, interpret: bool = False):
     assert name in ("auto", "xla", "pallas"), name
     global _IMPL, _INTERPRET
     _IMPL = name
     _INTERPRET = interpret
+
+
+def _bd2(a):
+    """Block-diagonal doubling (p, q) -> (2p, 2q); batched for 3-D."""
+    z = jnp.zeros_like(a)
+    if a.ndim == 2:
+        return jnp.concatenate([jnp.concatenate([a, z], 1),
+                                jnp.concatenate([z, a], 1)], 0)
+    return jnp.concatenate([jnp.concatenate([a, z], 2),
+                            jnp.concatenate([z, a], 2)], 1)
+
+
+def _tile2(b):
+    """Tile a (1, q) bias to (1, 2q)."""
+    return jnp.concatenate([b, b], axis=-1)
 
 
 def _expansions(k, v, scale):
@@ -134,6 +162,20 @@ def cross_layer_head1_auto(x, ln1_scale, ln1_bias, wq, k, v, w_out, b_out,
     b1_eff = (ln2_bias @ w1 + b1)[None, :]
     has_perm = perm is not None
     perm_in = (perm if has_perm else jnp.zeros((Dm, Dm), x.dtype))
+
+    from .pallas.xattn import _TILE_L, _TILE_L_BWD
+
+    pack = (_PACK2 and Dm <= 64
+            and N % (2 * max(_TILE_L, _TILE_L_BWD)) == 0
+            and 2 * h * M <= 128
+            and xlayer_supported(N // 2, 2 * Dm, 2 * h, M, 2 * hidden))
+    if pack:
+        y2 = cross_layer_head1_pallas(
+            x.reshape(B, N // 2, 2 * Dm), _bd2(wq_eff), _tile2(bq_eff),
+            _bd2(k_exp), _bd2(vg_exp), _bd2(w_out), _tile2(b_out[None, :]),
+            _bd2(perm_in), _bd2(w1_eff), _tile2(b1_eff), _bd2(w2),
+            _tile2(b2[None, :]), eps, has_perm, _INTERPRET, 2)
+        return y2.reshape(B, N, Dm)
     return cross_layer_head1_pallas(
         x, wq_eff, bq_eff, k_exp, vg_exp, w_out, b_out[None, :], perm_in,
         w1_eff, b1_eff, w2, b2[None, :], eps, has_perm, _INTERPRET)
