@@ -109,6 +109,16 @@ def set_flow_folded(v: bool):
     _FLOW_FOLDED = v
 
 
+# Token pooling lowering: frame-grouped (2 dots of 2L rows) vs per-frame
+# (4 dots of L rows). A/B'd on chip round 5; default by measurement.
+_POOL_GROUPED = False
+
+
+def set_pool_grouped(v: bool):
+    global _POOL_GROUPED
+    _POOL_GROUPED = v
+
+
 # Probed and REMOVED (tools/probe_head_ab.py, whole-model on-chip): an
 # eval-mode classifier fold (head conv + sigmoid as the fused cross-attn
 # kernel's epilogue) LOST on both models — smow_net infer 12.85 -> 13.24
@@ -291,12 +301,27 @@ def ofw_tokens_fused(ofw: OFW, tenc: TokenTransformerEncoder, x: jnp.ndarray,
     # map's warped-logit spread exceeds ~87 (ops/warp.token_softmax_scatter
     # contract); the legacy per-warped-max shift guaranteed z >= 1
     tiny = jnp.asarray(1e-30, jnp.float32).astype(x.dtype)
-    pool = lambda e, f, z: (jnp.einsum("bnl,bnc->blc", e, f)
-                            / jnp.maximum(z, tiny)[..., None])
-    tok = jnp.stack([
-        pool(ea[:, 0], f0, za[:, 0]), pool(ew[:, 0], f0, zaw[:, 0]),
-        pool(ew[:, 1], f1, zaw[:, 1]), pool(ea[:, 1], f1, za[:, 1]),
-    ], axis=1)                                     # (B, 4, L, C)
+    if _POOL_GROUPED:
+        # frame-grouped pooling: ONE einsum per source frame with the two
+        # destination frames' maps lane-concatenated — 2 dots of 2L=16 rows
+        # instead of 4 dots of L=8 (the n=H*W contraction's MXU row
+        # utilization doubles, and the bwd dot count halves). Same math.
+        e0 = jnp.concatenate([ea[:, 0], ew[:, 0]], axis=-1)   # (B, n, 2L)
+        e1 = jnp.concatenate([ew[:, 1], ea[:, 1]], axis=-1)
+        t0 = jnp.einsum("bnl,bnc->blc", e0, f0)               # (B, 2L, C)
+        t1 = jnp.einsum("bnl,bnc->blc", e1, f1)
+        z0 = jnp.concatenate([za[:, 0], zaw[:, 0]], axis=-1)  # (B, 2L)
+        z1 = jnp.concatenate([zaw[:, 1], za[:, 1]], axis=-1)
+        t0 = t0 / jnp.maximum(z0, tiny)[..., None]
+        t1 = t1 / jnp.maximum(z1, tiny)[..., None]
+        tok = jnp.stack([t0[:, :L], t0[:, L:], t1[:, :L], t1[:, L:]], axis=1)
+    else:
+        pool = lambda e, f, z: (jnp.einsum("bnl,bnc->blc", e, f)
+                                / jnp.maximum(z, tiny)[..., None])
+        tok = jnp.stack([
+            pool(ea[:, 0], f0, za[:, 0]), pool(ew[:, 0], f0, zaw[:, 0]),
+            pool(ew[:, 1], f1, zaw[:, 1]), pool(ea[:, 1], f1, za[:, 1]),
+        ], axis=1)                                 # (B, 4, L, C)
     return tenc.finish(tok)
 
 

@@ -322,3 +322,29 @@ def test_convblock_lw_pair_liftfold_equivalence():
             sn.set_convblock_catsplit(True, liftfold=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5, err_msg=f"F={F}")
+
+
+def test_pool_grouped_equivalent():
+    """Frame-grouped token pooling must equal the per-frame form exactly
+    (pure reassociation of the same dots)."""
+    import smow_net_tpu.models.smow_net as sm
+    from smow_net_tpu.models import get_model
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    model = get_model("smow_net")
+    rng = np.random.default_rng(5)
+    x1 = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x1, x2, train=False)
+    try:
+        sm.set_pool_grouped(False)
+        out_a = model.apply(variables, x1, x2, train=False)
+        sm.set_pool_grouped(True)
+        out_b = model.apply(variables, x1, x2, train=False)
+    finally:
+        sm.set_pool_grouped(False)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=2e-6, atol=2e-6)

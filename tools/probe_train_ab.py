@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from tools.profile_breakdown_train import timeit
 from smow_net_tpu.models.smow_net import SMOWNet
+import smow_net_tpu.models.smow_net as sm
 from smow_net_tpu.ops import warp as ow
 from smow_net_tpu.ops.pallas import xattn as px
 
@@ -36,19 +37,22 @@ def main():
     b = r(k(1), (BS, SIZE, SIZE, 3), bf)
 
     arms = (
-        ("r4", "unfused", False, 512),
-        ("tok", "hybrid", False, 512),
-        ("xat", "unfused", XAB_PARB, XAB_TILE),
-        ("both", "hybrid", XAB_PARB, XAB_TILE),
-        ("r4", "unfused", False, 512),
-        ("both", "hybrid", XAB_PARB, XAB_TILE),
+        ("r4", "unfused", False, 512, False),
+        ("tok", "hybrid", False, 512, False),
+        ("xat", "unfused", XAB_PARB, XAB_TILE, False),
+        ("both", "hybrid", XAB_PARB, XAB_TILE, False),
+        ("all+pool", "hybrid", XAB_PARB, XAB_TILE, True),
+        ("r4", "unfused", False, 512, False),
+        ("both", "hybrid", XAB_PARB, XAB_TILE, False),
     )
-    for label, tok, parb, tile in arms:
+    for label, tok, parb, tile, pool in arms:
         ow.set_token_train_impl(tok)
         px.set_xlayer_bwd(tile=tile, parallel_b=parb)
+        sm.set_pool_grouped(pool)
         timeit(f"SMOWNet train step [{label}]", SMOWNet(), a, b)
     ow.set_token_train_impl("unfused")
     px.set_xlayer_bwd(tile=512, parallel_b=True)
+    sm.set_pool_grouped(False)
 
 
 if __name__ == "__main__":
