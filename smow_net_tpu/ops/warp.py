@@ -263,12 +263,15 @@ def token_softmax_scatter(a: jnp.ndarray, flow: jnp.ndarray):
 #   fused   — token_scatter_pallas fwd AND bwd (lost the r4 train A/B)
 #   hybrid  — fused forward + the unfused split backward sharing one idxw
 #             VJP (pallas/warp.token_scatter_hybrid_pallas)
+#   hybrid2 — fused forward + ONE channel-stacked backward kernel (the
+#             split bwd's five gather passes as three bigger matmuls;
+#             pallas/warp.token_scatter_hybrid2_pallas)
 # Default set by the round-5 on-chip A/B (tools/probe_token_ab.py).
 _TOK_TRAIN_IMPL = "unfused"
 
 
 def set_token_train_impl(name: str):
-    assert name in ("unfused", "fused", "hybrid"), name
+    assert name in ("unfused", "fused", "hybrid", "hybrid2"), name
     global _TOK_TRAIN_IMPL
     _TOK_TRAIN_IMPL = name
 
@@ -289,6 +292,10 @@ def token_softmax_scatter_train(a: jnp.ndarray, flow: jnp.ndarray):
         from .pallas.warp import token_scatter_hybrid_pallas
 
         return token_scatter_hybrid_pallas(a, _flow_grid(flow, H, W))
+    if impl == "hybrid2":
+        from .pallas.warp import token_scatter_hybrid2_pallas
+
+        return token_scatter_hybrid2_pallas(a, _flow_grid(flow, H, W))
     # unfused composition (the round-2/3 train path)
     n = H * W
     m = jax.lax.stop_gradient(jnp.max(a.reshape(B, n, C), axis=1))
