@@ -1022,152 +1022,3 @@ def _tok_hyb_bwd(interpret, res, cots):
 token_scatter_hybrid_pallas.defvjp(_tok_hyb_fwd, _tok_hyb_bwd)
 
 
-# ---------------------------------------------------------------------------
-# hybrid2: fused forward + ONE channel-stacked backward kernel. The split
-# backward's five gather-matmul passes pair up: stacking X2 = [a | ew_bar]
-# along channels (w-major interleave — a plain channels-last concat) makes
-#   v2  = X2 @ Wv        one matmul = the a-gather AND the ew_bar-gather
-#   z2  = X2^T @ whg2    one matmul = z_a + z_e — exactly the SUM the grid
-#                        gradient needs (dwy folds over z_a + z_e anyway)
-#   s2  = fold(v2 . [daw | eaw])   = s_a + s_e likewise
-# so the whole chain backward is 3 matmul calls (same FLOPs as the split
-# path's 5) with every one-hot mask built once. The r4 monolithic bwd that
-# lost its A/B ran 5 separate small matmuls with two image blocks; this
-# form has the same VMEM residency but bigger, better-pipelined matmuls.
-# ---------------------------------------------------------------------------
-
-
-def _tok_bwd2_kernel(idxw_ref, x2t_ref, mz_ref, dat_ref, dw_ref, *,
-                     H: int, W: int, C: int):
-    tp = idxw_ref.shape[-1]
-    y0 = idxw_ref[0, 0:1, :]
-    y1 = idxw_ref[0, 1:2, :]
-    wy0 = idxw_ref[0, 2:3, :]
-    wy1 = idxw_ref[0, 3:4, :]
-    x0 = idxw_ref[0, 4:5, :]
-    x1 = idxw_ref[0, 5:6, :]
-    wx0 = idxw_ref[0, 6:7, :]
-    wx1 = idxw_ref[0, 7:8, :]
-
-    x2t = x2t_ref[0]                                # (W*2C, H) [a | ew_bar]
-    C2 = 2 * C
-    ioh = jax.lax.broadcasted_iota(jnp.int32, (H, tp), 0)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (W, tp), 0)
-    oh0 = (ioh == y0.astype(jnp.int32)).astype(jnp.float32)
-    oh1 = (ioh == y1.astype(jnp.int32)).astype(jnp.float32)
-    fx0 = (iw == x0.astype(jnp.int32)).astype(jnp.float32)
-    fx1 = (iw == x1.astype(jnp.int32)).astype(jnp.float32)
-    wvt = wy0 * oh0 + wy1 * oh1                     # (H, tp)
-    fh = wx0 * fx0 + wx1 * fx1                      # (W, tp)
-    prec = _prec(x2t.dtype)
-
-    v2 = jax.lax.dot_general(x2t, wvt.astype(x2t.dtype),
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=prec)        # (W*2C, tp)
-    whx2 = jnp.broadcast_to(fh[:, None, :], (W, C2, tp)).reshape(W * C2, tp)
-    t = v2 * whx2
-    rows = W * C2
-    while rows > C2:
-        rows //= 2
-        t = t[:rows, :] + t[rows:, :]               # (2C, tp) [aw; dg]
-    aw = t[:C, :]
-    dg = t[C:, :]
-    m = mz_ref[0][:C, 0:1]
-    dz = mz_ref[0][C:, 0:1]
-    eaw = jnp.exp(aw - m)                           # (C, tp)
-    daw = (dg + dz) * eaw
-
-    mult = jnp.concatenate([daw, eaw], axis=0)      # (2C, tp)
-    whg2 = (fh[:, None, :] * mult[None, :, :]).reshape(W * C2, tp)
-    z2 = jax.lax.dot_general(x2t, whg2.astype(x2t.dtype),
-                             (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=prec)        # (H, tp) = z_a + z_e
-    s2 = jnp.sum(v2.reshape(W, C2, tp) * mult[None, :, :].reshape(1, C2, tp),
-                 axis=1)                            # (W, tp) = s_a + s_e
-    zero = jnp.zeros((1, tp), jnp.float32)
-    dw_ref[0] = jnp.concatenate([
-        zero, zero,
-        jnp.sum(oh0 * z2, axis=0, keepdims=True),
-        jnp.sum(oh1 * z2, axis=0, keepdims=True),
-        zero, zero,
-        jnp.sum(fx0 * s2, axis=0, keepdims=True),
-        jnp.sum(fx1 * s2, axis=0, keepdims=True),
-    ], axis=0)
-
-    whg_daw = (fh[:, None, :] * daw[None, :, :]).reshape(W * C, tp)
-    contrib = jax.lax.dot_general(
-        whg_daw.astype(x2t.dtype), wvt.astype(x2t.dtype),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=prec)                             # (W*C, H)
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        dat_ref[0] = jnp.zeros_like(dat_ref[0])
-
-    dat_ref[0] += contrib
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def token_scatter_hybrid2_pallas(a, grid, interpret=False):
-    """Same contract as `token_scatter_pallas`; fused fwd + the one-kernel
-    channel-stacked bwd above."""
-    m = jax.lax.stop_gradient(jnp.max(a, axis=(1, 2)))
-    return _tok_forward(a, grid, m, interpret)
-
-
-def _tok_hyb2_fwd(a, grid, interpret):
-    m = jax.lax.stop_gradient(jnp.max(a, axis=(1, 2)))
-    return _tok_forward(a, grid, m, interpret), (a, grid, m)
-
-
-def _tok_hyb2_bwd(interpret, res, cots):
-    a, grid, m = res
-    ew_bar, dz = cots
-    B, H, W, C = a.shape
-    P = H * W
-    idxw, f_vjp = jax.vjp(
-        lambda g: _corner_indices_weights(g, H, W, "border", True), grid)
-    # channels-last concat -> w-major [a_c | ewbar_c] row interleave
-    x2 = jnp.concatenate([a, ew_bar.astype(a.dtype)], axis=-1)
-    x2t = x2.reshape(B, H, W * 2 * C).transpose(0, 2, 1)
-    mz = jnp.concatenate([m.astype(jnp.float32),
-                          dz.astype(jnp.float32)], axis=1)
-    mzb = jnp.broadcast_to(mz[:, :, None], (B, 2 * C, 128))
-
-    tp = _pick_tile(P, W * 2 * C * 3 // 2, floor=_TILE_P_BWD)
-    kernel = functools.partial(_tok_bwd2_kernel, H=H, W=W, C=C)
-    dat, dw = pl.pallas_call(
-        kernel,
-        grid=(B, P // tp),
-        in_specs=[
-            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W * 2 * C, H), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * C, 128), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, W * C, H), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tp), lambda b, t: (b, 0, t),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, W * C, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, 8, P), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_BWD_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(idxw, x2t, mzb)
-    da = dat.transpose(0, 2, 1).reshape(B, H, W, C).astype(a.dtype)
-    (dgrid,) = f_vjp(dw)
-    return da, dgrid
-
-
-token_scatter_hybrid2_pallas.defvjp(_tok_hyb2_fwd, _tok_hyb2_bwd)

@@ -287,7 +287,12 @@ cross_attn_head1_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 #   * exact GELU (erf) in fp32, matching jax.nn.gelu(approximate=False).
 
 _TILE_L = int(__import__("os").environ.get("XLAYER_TILE", "1024"))
-_TILE_L_BWD = int(__import__("os").environ.get("XLAYER_TILE_BWD", "512"))
+# bwd tile 1024 + parallel-b: the r5 sweep (artifacts/bench_r05/
+# xattn_bwd.txt) measured 512/ser 5.09-5.11 ms, 1024/parb 4.68, 2048/parb
+# 4.74 — and 1024/ser 6.68: the bigger tile only wins WITH the parallel
+# batch grid (per-batch partial param grads), not under the serialized
+# accumulation.
+_TILE_L_BWD = int(__import__("os").environ.get("XLAYER_TILE_BWD", "1024"))
 # Backward grid layout (VERDICT r4 #3 attempt): with every parameter grad
 # accumulated into ONE shared block, the whole (B, N/tile) bwd grid is
 # 'arbitrary' — 512 strictly-serialized programs at the flagship shapes.

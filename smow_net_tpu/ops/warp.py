@@ -263,15 +263,18 @@ def token_softmax_scatter(a: jnp.ndarray, flow: jnp.ndarray):
 #   fused   — token_scatter_pallas fwd AND bwd (lost the r4 train A/B)
 #   hybrid  — fused forward + the unfused split backward sharing one idxw
 #             VJP (pallas/warp.token_scatter_hybrid_pallas)
-#   hybrid2 — fused forward + ONE channel-stacked backward kernel (the
-#             split bwd's five gather passes as three bigger matmuls;
-#             pallas/warp.token_scatter_hybrid2_pallas)
-# Default set by the round-5 on-chip A/B (tools/probe_token_ab.py).
-_TOK_TRAIN_IMPL = "unfused"
+# Default HYBRID by the round-5 on-chip A/B (tools/probe_token_ab.py,
+# artifacts/bench_r05/token_ab.txt): hybrid 7.87/7.97 ms vs unfused
+# 8.02/8.24 at the bs16 256^2 chain shapes. A hybrid2 variant (fused fwd +
+# ONE channel-stacked bwd kernel collapsing the split bwd's five gather
+# matmuls into three) was built, verified, probed and DELETED: 9.35/9.51 ms
+# — like r4's monolithic fused bwd, the big single-kernel matmuls pipeline
+# worse than the two split kernels at W*C=1024.
+_TOK_TRAIN_IMPL = "hybrid"
 
 
 def set_token_train_impl(name: str):
-    assert name in ("unfused", "fused", "hybrid", "hybrid2"), name
+    assert name in ("unfused", "fused", "hybrid"), name
     global _TOK_TRAIN_IMPL
     _TOK_TRAIN_IMPL = name
 
@@ -292,10 +295,6 @@ def token_softmax_scatter_train(a: jnp.ndarray, flow: jnp.ndarray):
         from .pallas.warp import token_scatter_hybrid_pallas
 
         return token_scatter_hybrid_pallas(a, _flow_grid(flow, H, W))
-    if impl == "hybrid2":
-        from .pallas.warp import token_scatter_hybrid2_pallas
-
-        return token_scatter_hybrid2_pallas(a, _flow_grid(flow, H, W))
     # unfused composition (the round-2/3 train path)
     n = H * W
     m = jax.lax.stop_gradient(jnp.max(a.reshape(B, n, C), axis=1))

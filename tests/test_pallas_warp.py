@@ -176,15 +176,10 @@ def test_transpose_vjp_fused_kernel(padding_mode):
                                atol=2e-4, rtol=2e-4)
 
 
-@pytest.mark.parametrize("op_name", ["hybrid", "hybrid2"])
-def test_token_scatter_hybrid_forward_and_grads(op_name):
-    """The hybrid (fused-fwd + split-bwd) and hybrid2 (fused-fwd + one
-    channel-stacked bwd kernel) train lowerings must match the unfused XLA
-    chain in outputs and all grads (VERDICT r4 #1)."""
-    from smow_net_tpu.ops.pallas import warp as pw
-
-    token_scatter_hybrid_pallas = getattr(
-        pw, f"token_scatter_{op_name}_pallas")
+def test_token_scatter_hybrid_forward_and_grads():
+    """The hybrid (fused-fwd + split-bwd) train lowering must match the
+    unfused XLA chain in outputs and all grads (VERDICT r4 #1)."""
+    from smow_net_tpu.ops.pallas.warp import token_scatter_hybrid_pallas
 
     x, grid = _rand(17)
     ew, z = token_scatter_hybrid_pallas(x, grid, True)
@@ -221,7 +216,7 @@ def test_token_train_router_cpu_fallback():
     flow = jax.random.normal(jax.random.PRNGKey(21), (B, H, W, 2)) * 2.0
     grid = warp_mod._flow_grid(flow, H, W)
     ref_ew, ref_z = _token_chain_ref(x, grid)
-    for impl in ("unfused", "fused", "hybrid", "hybrid2"):
+    for impl in ("unfused", "fused", "hybrid"):
         try:
             warp_mod.set_token_train_impl(impl)
             ew, z = warp_mod.token_softmax_scatter_train(x, flow)

@@ -52,10 +52,6 @@ class Hybrid(nn.Module):
         return PW.token_scatter_hybrid_pallas(a, W._flow_grid(flow, H, Wd))
 
 
-class Hybrid2(nn.Module):
-    @nn.compact
-    def __call__(self, a, flow):
-        return PW.token_scatter_hybrid2_pallas(a, W._flow_grid(flow, H, Wd))
 
 
 def main():
@@ -65,10 +61,8 @@ def main():
     flow = (r(k(1), (B, H, Wd, 2), jnp.float32) * 2.0).astype(bf)
     arms = (("unfused", Unfused(), None),
             ("hybrid", Hybrid(), 3),
-            ("hybrid2", Hybrid2(), 3),
             ("unfused", Unfused(), None),
-            ("hybrid", Hybrid(), 3),
-            ("hybrid2", Hybrid2(), 3))
+            ("hybrid", Hybrid(), 3))
     if os.environ.get("PB_FUSED_ARM"):
         arms = arms + (("fused/3", Fused(), 3),)
     for label, mod, halves in arms:
