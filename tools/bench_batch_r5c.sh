@@ -11,7 +11,7 @@ if [ -n "$prev" ]; then
 fi
 
 echo "=== whole-model train A/B (r4 vs r5 lowerings) $(date +%H:%M:%S)"
-PB_ITERS=10 python tools/probe_train_ab.py \
+PB_ITERS=10 XAB_TILE=1024 XAB_PARB=1 python tools/probe_train_ab.py \
   > artifacts/bench_r05/train_ab.txt 2>&1
 grep "train step" artifacts/bench_r05/train_ab.txt
 
