@@ -15,9 +15,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main(force=False):
     for path in sorted(glob.glob(
-            os.path.join(REPO, "artifacts/bench_r05/zoo_*_infer.json"))):
-        m = re.match(r"zoo_(.+)_infer\.json", os.path.basename(path))
-        model = m.group(1)
+            os.path.join(REPO, "artifacts/bench_r05/zoo_*_infer.json")) +
+            sorted(glob.glob(
+                os.path.join(REPO, "artifacts/bench_r05/zoo_*_train.json")))):
+        m = re.match(r"zoo_(.+?)_(infer|train)\.json", os.path.basename(path))
+        model = m.group(1) + ("_train" if m.group(2) == "train" else "")
         try:
             rec = json.load(open(path))
         except Exception as e:
