@@ -270,7 +270,7 @@ def token_softmax_scatter(a: jnp.ndarray, flow: jnp.ndarray):
 # matmuls into three) was built, verified, probed and DELETED: 9.35/9.51 ms
 # — like r4's monolithic fused bwd, the big single-kernel matmuls pipeline
 # worse than the two split kernels at W*C=1024.
-_TOK_TRAIN_IMPL = "hybrid"
+_TOK_TRAIN_IMPL = __import__("os").environ.get("TOK_TRAIN_IMPL", "hybrid")
 
 
 def set_token_train_impl(name: str):
@@ -289,6 +289,14 @@ def token_softmax_scatter_train(a: jnp.ndarray, flow: jnp.ndarray):
               and pallas_warp_supported(a.shape, (B, H, W, 2))
               and _IMPL in ("auto", "pallas"))
     impl = _TOK_TRAIN_IMPL if on_tpu else "unfused"
+    # The hybrid lowering is proven only at W*C <= 1024 (the flagship
+    # chain, where it won the r5 A/B). At SMOW_Net_LW's W*C = 2048 the
+    # hybrid program reproducibly faults the TPU worker on-chip
+    # ("TPU worker process crashed", 2x at bs16 256^2 — bench_r05
+    # smow_net_lw_train.log history), so larger shapes take the unfused
+    # split chain, which also matches the r4-verdict routing there.
+    if impl == "hybrid" and W * C > 1024:
+        impl = "unfused"
     if impl == "fused":
         return token_softmax_scatter(a, flow)
     if impl == "hybrid":
